@@ -1,0 +1,460 @@
+"""Snapshot-versioned, hash-bucketed lake table with MERGE upsert.
+
+This is the engine's sink — the role Iceberg ``MERGE INTO`` plays in
+the north rule. The sandbox ships no Iceberg runtime jar, so the table
+format is implemented here with the same contract Iceberg gives us:
+
+  * **atomic snapshot commit** — a new metadata JSON is staged and the
+    current-version pointer swapped with ``os.replace`` (Iceberg's
+    atomic metadata swap); readers only ever see a committed version.
+  * **copy-on-write MERGE, bucket-pruned** — the table is hash-bucketed
+    on its key columns. A merge rewrites ONLY the buckets that contain
+    batch keys; untouched buckets carry their files forward by
+    reference. Merge cost is proportional to touched data, not table
+    size — this is what keeps a 10^10-row table mergeable.
+  * **epoch-id fencing in the same commit** — the metadata records, per
+    stream id, the last applied epoch. A ``foreachBatch`` retry of an
+    already-applied epoch is a no-op, because the fence check and the
+    data swap are the same atomic pointer move (exactly-once; the
+    reference's analogous hazard window is Kafka-commit-then-DB-delete,
+    transfer_thread.rb:68-80,171-177).
+  * **schema evolution** — column adds and int→long / float→double
+    widening recorded per snapshot; old files are read with the new
+    schema (missing columns → null), the Iceberg ALTER-before-MERGE
+    analog.
+  * **time travel** — any committed version can be read back.
+  * **tombstones** — deletes keep ``(key, last_seq, deleted=true)`` so
+    a late event with a LOWER seq can never resurrect a deleted row,
+    while a genuinely newer insert can (SURVEY §7.3 hard part 5).
+
+On a real cluster every piece of this maps 1:1 onto Iceberg catalog
+calls; the class is deliberately small so that swap is mechanical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "__bucket"
+PART_COL = "__bucket_part"  # duplicated for partitionBy (dir layout)
+SEQ_COL = "last_seq"
+DELETED_COL = "deleted"
+
+# widenings allowed without rewriting data files (Iceberg-compatible set)
+_WIDEN: dict[tuple[str, str], str] = {
+    ("integer", "long"): "long",
+    ("float", "double"): "double",
+    ("integer", "double"): "double",
+    ("date", "timestamp"): "timestamp",
+}
+
+
+def bucket_expr(key_cols: list[str], n_buckets: int):
+    """Deterministic key→bucket assignment: pmod(xxhash64(keys), n).
+
+    Same role as the reference's MOD(ORA_HASH(Msg_Key,1e6), workers)
+    worker-affinity slice (transfer_thread.rb:239-242): every key maps
+    to exactly one bucket, so per-key state never spans tasks.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first — reread and retry."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "_meta")
+        self.data_dir = os.path.join(path, "data")
+
+    # ---------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 32,
+    ) -> "LakeTable":
+        """Create an empty table. ``schema`` is the payload schema (key
+        columns included); ``last_seq``/``deleted`` bookkeeping columns
+        are added automatically."""
+        t = cls(spark, path)
+        os.makedirs(t.meta_dir, exist_ok=False)
+        os.makedirs(t.data_dir, exist_ok=True)
+        full = T.StructType(
+            list(schema.fields)
+            + [T.StructField(SEQ_COL, T.LongType()), T.StructField(DELETED_COL, T.BooleanType())]
+        )
+        meta = {
+            "version": 0,
+            "parent": None,
+            "schema": full.jsonValue(),
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            "buckets": {},  # bucket id (str) -> list of relative file paths
+            "epochs": {},  # stream_id -> last applied epoch id
+            "lineage": [],
+            "stats": {"rows_live": 0, "rows_total": 0},
+        }
+        t._write_version(meta)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        t.current_version()  # raises if missing
+        return t
+
+    # ------------------------------------------------------- metadata
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "_current")) as f:
+            return int(f.read().strip())
+
+    def meta(self, version: int | None = None) -> dict[str, Any]:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(self.meta(version)["schema"])
+
+    def payload_schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType(
+            [f for f in self.schema(version).fields if f.name not in (SEQ_COL, DELETED_COL)]
+        )
+
+    def _write_version(self, meta: dict[str, Any]) -> None:
+        """Atomic commit: exclusive-create v{n}.json (commit lock), then
+        swap the _current pointer. Iceberg's version-hint protocol."""
+        v = meta["version"]
+        vpath = os.path.join(self.meta_dir, f"v{v}.json")
+        try:
+            fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:  # lost the race for this version
+            raise CommitConflict(f"version {v} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        tmp = os.path.join(self.meta_dir, f"_current.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.meta_dir, "_current"))
+
+    # ----------------------------------------------------------- read
+    def _files(self, meta: dict[str, Any], buckets: list[int] | None = None) -> list[str]:
+        out: list[str] = []
+        for b, files in meta["buckets"].items():
+            if buckets is None or int(b) in buckets:
+                out.extend(os.path.join(self.path, f) for f in files)
+        return out
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Read a snapshot. ``buckets`` prunes the scan to the named
+        buckets (metadata-level partition pruning — untouched buckets
+        are never listed, opened, or scanned)."""
+        m = self.meta(version)
+        schema = T.StructType.fromJson(m["schema"])
+        files = self._files(m, buckets)
+        read_schema = T.StructType(
+            [T.StructField(BUCKET_COL, T.IntegerType())] + list(schema.fields)
+        )
+        if not files:
+            df = self.spark.createDataFrame([], read_schema)
+        else:
+            # explicit schema = schema-evolution read path: files written
+            # before a column add are read with null for the new column.
+            df = self.spark.read.schema(read_schema).parquet(*files)
+        if not include_deleted:
+            df = df.filter(~F.col(DELETED_COL))
+        return df.drop(BUCKET_COL)
+
+    def read_raw(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Internal read keeping bucket + tombstone columns."""
+        m = self.meta(version)
+        schema = T.StructType.fromJson(m["schema"])
+        read_schema = T.StructType(
+            [T.StructField(BUCKET_COL, T.IntegerType())] + list(schema.fields)
+        )
+        files = self._files(m, buckets)
+        if not files:
+            return self.spark.createDataFrame([], read_schema)
+        return self.spark.read.schema(read_schema).parquet(*files)
+
+    # --------------------------------------------------- schema evolve
+    def evolve_schema(self, batch_payload_schema: T.StructType) -> T.StructType:
+        """Union the incoming batch schema into the table schema:
+        new columns appended, widenable primitives widened. Returns the
+        resulting payload schema. Incompatible changes raise.
+
+        The Iceberg 'ALTER TABLE ADD COLUMN / ALTER COLUMN TYPE before
+        MERGE' step of the north rule; the reference analog is a table
+        config change regenerating triggers mid-stream
+        (import_export_config.rb:86-120, db_trigger.rb:38-92).
+        Metadata-only: no data files are rewritten."""
+        cur = self.payload_schema()
+        by_name = {f.name: f for f in cur.fields}
+        changed = False
+        for f in batch_payload_schema.fields:
+            if f.name in (SEQ_COL, DELETED_COL):
+                continue
+            if f.name not in by_name:
+                by_name[f.name] = T.StructField(f.name, f.dataType, True)
+                changed = True
+            else:
+                have = by_name[f.name].dataType
+                want = f.dataType
+                if have != want:
+                    key = (have.typeName(), want.typeName())
+                    if key in _WIDEN:
+                        by_name[f.name] = T.StructField(f.name, want, True)
+                        changed = True
+                    elif (want.typeName(), have.typeName()) in _WIDEN:
+                        pass  # batch is narrower; cast at merge time
+                    else:
+                        raise ValueError(
+                            f"incompatible type change for {f.name}: {have} -> {want}"
+                        )
+        # preserve existing column order, append new ones
+        cur_names = [f.name for f in cur.fields]
+        ordered = [by_name[n] for n in cur_names] + [
+            by_name[f.name] for f in batch_payload_schema.fields if f.name not in cur_names
+        ]
+        new_payload = T.StructType(ordered)
+        if changed:
+            m = self.meta()
+            full = T.StructType(
+                list(new_payload.fields)
+                + [
+                    T.StructField(SEQ_COL, T.LongType()),
+                    T.StructField(DELETED_COL, T.BooleanType()),
+                ]
+            )
+            m2 = dict(m)
+            m2["version"] = m["version"] + 1
+            m2["parent"] = m["version"]
+            m2["schema"] = full.jsonValue()
+            self._write_version(m2)
+        return new_payload
+
+    # ---------------------------------------------------------- merge
+    def merge(
+        self,
+        batch: DataFrame,
+        seq_col: str = "seq",
+        op_col: str = "op",
+        stream_id: str = "default",
+        epoch_id: int | None = None,
+        lineage_extra: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """LWW MERGE of a change batch into the table.
+
+        ``batch`` must be unique per key (run LWW dedup first) and
+        carry ``seq_col`` (monotone per key) + ``op_col`` ('I'/'U'/'D').
+
+        Semantics per key (the Iceberg MERGE INTO the north rule names):
+          WHEN MATCHED  AND s.seq > t.last_seq AND s.op =  'D' → tombstone
+          WHEN MATCHED  AND s.seq > t.last_seq AND s.op != 'D' → update
+          WHEN MATCHED  AND s.seq <= t.last_seq               → keep t
+          WHEN NOT MATCHED                                     → insert
+        Cross-batch ordering (SURVEY §7.3 hard part 2) is exactly the
+        ``s.seq > t.last_seq`` guard — a later micro-batch can never
+        apply an older change over a newer one, mirroring the worker
+        high-water mark @max_key_event_logs_id (transfer_thread.rb:40).
+
+        Returns the lineage record. If ``epoch_id`` is already fenced
+        for ``stream_id`` the call is a NO-OP and returns the fence
+        record instead (idempotent retry).
+        """
+        m = self.meta()
+        if epoch_id is not None:
+            last = m["epochs"].get(stream_id)
+            if last is not None and epoch_id <= last:
+                return {"skipped": True, "stream_id": stream_id, "epoch_id": epoch_id}
+
+        key_cols = m["key_cols"]
+        n_buckets = m["n_buckets"]
+        payload = self.payload_schema()
+        pay_names = [f.name for f in payload.fields]
+
+        src = batch.withColumn(BUCKET_COL, bucket_expr(key_cols, n_buckets))
+        # align batch payload to table schema: missing cols -> null,
+        # narrower types -> cast up (schema-evolution tolerant apply)
+        batch_names = set(batch.columns)
+        src = src.select(
+            F.col(BUCKET_COL),
+            *[
+                (F.col(f.name).cast(f.dataType) if f.name in batch_names else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in payload.fields
+            ],
+            F.col(seq_col).cast("long").alias("__s_seq"),
+            F.col(op_col).alias("__s_op"),
+        )
+
+        # bucket pruning: which buckets does this batch touch?
+        touched = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            return {"skipped": True, "reason": "empty batch"}
+
+        tgt = self.read_raw(buckets=touched)
+
+        joined = tgt.alias("t").join(
+            src.alias("s"),
+            on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
+            how="full_outer",
+        )
+        t_seq = F.col(f"t.{SEQ_COL}")
+        s_seq = F.col("s.__s_seq")
+        s_wins = t_seq.isNull() | (s_seq.isNotNull() & (s_seq > t_seq))
+
+        cols = [
+            F.coalesce(F.col(f"t.{BUCKET_COL}"), F.col(f"s.{BUCKET_COL}")).alias(BUCKET_COL)
+        ]
+        for k in key_cols:
+            cols.append(F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k))
+        for name in pay_names:
+            if name in key_cols:
+                continue
+            cols.append(
+                F.when(s_wins, F.col(f"s.{name}")).otherwise(F.col(f"t.{name}")).alias(name)
+            )
+        cols.append(F.greatest(F.coalesce(t_seq, F.lit(-1)), F.coalesce(s_seq, F.lit(-1))).alias(SEQ_COL))
+        cols.append(
+            F.when(s_wins, F.col("s.__s_op") == F.lit("D"))
+            .otherwise(F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False)))
+            .alias(DELETED_COL)
+        )
+        result = joined.select(*cols)
+
+        # write only the touched buckets into a fresh snapshot dir
+        new_version = m["version"] + 1
+        snap_rel = os.path.join("data", f"snap-{new_version}")
+        snap_dir = os.path.join(self.path, snap_rel)
+        (
+            result.withColumn(PART_COL, F.col(BUCKET_COL))
+            .repartition(min(len(touched), max(1, n_buckets)), F.col(PART_COL))
+            .write.partitionBy(PART_COL)
+            .parquet(snap_dir, mode="errorifexists")
+        )
+
+        # collect the new file list per touched bucket
+        new_buckets: dict[str, list[str]] = dict(m["buckets"])
+        for b in touched:
+            bdir = os.path.join(snap_dir, f"{PART_COL}={b}")
+            if os.path.isdir(bdir):
+                new_buckets[str(b)] = [
+                    os.path.join(snap_rel, f"{PART_COL}={b}", f)
+                    for f in sorted(os.listdir(bdir))
+                    if f.endswith(".parquet")
+                ]
+            else:  # bucket became empty (everything merged away) — keep old? no rows
+                new_buckets[str(b)] = []
+
+        lineage = {
+            "version": new_version,
+            "stream_id": stream_id,
+            "epoch_id": epoch_id,
+            "buckets_touched": sorted(touched),
+            "buckets_total": n_buckets,
+        }
+        if lineage_extra:
+            lineage.update(lineage_extra)
+
+        m2 = dict(m)
+        m2["version"] = new_version
+        m2["parent"] = m["version"]
+        m2["buckets"] = new_buckets
+        m2["epochs"] = dict(m["epochs"])
+        if epoch_id is not None:
+            m2["epochs"][stream_id] = epoch_id
+        m2["lineage"] = (m.get("lineage") or [])[-99:] + [lineage]
+        try:
+            self._write_version(m2)
+        except CommitConflict:
+            shutil.rmtree(snap_dir, ignore_errors=True)
+            raise
+        return lineage
+
+    # ------------------------------------------------------ overwrite
+    def overwrite(self, df: DataFrame, seq_value: int = 0) -> None:
+        """Bulk load (initial snapshot bootstrap, reference S8:
+        db_trigger_generator_oracle.rb:499-569). Replaces all data."""
+        m = self.meta()
+        n_buckets = m["n_buckets"]
+        key_cols = m["key_cols"]
+        payload = self.payload_schema()
+        names = set(df.columns)
+        out = df.withColumn(BUCKET_COL, bucket_expr(key_cols, n_buckets)).select(
+            F.col(BUCKET_COL),
+            *[
+                (F.col(f.name).cast(f.dataType) if f.name in names else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in payload.fields
+            ],
+            (F.col(SEQ_COL).cast("long") if SEQ_COL in names else F.lit(seq_value).cast("long")).alias(SEQ_COL),
+            (F.col(DELETED_COL) if DELETED_COL in names else F.lit(False)).alias(DELETED_COL),
+        )
+        new_version = m["version"] + 1
+        snap_rel = os.path.join("data", f"snap-{new_version}")
+        snap_dir = os.path.join(self.path, snap_rel)
+        (
+            out.withColumn(PART_COL, F.col(BUCKET_COL))
+            .repartition(n_buckets, F.col(PART_COL))
+            .write.partitionBy(PART_COL)
+            .parquet(snap_dir, mode="errorifexists")
+        )
+        buckets: dict[str, list[str]] = {}
+        for b in range(n_buckets):
+            bdir = os.path.join(snap_dir, f"{PART_COL}={b}")
+            if os.path.isdir(bdir):
+                buckets[str(b)] = [
+                    os.path.join(snap_rel, f"{PART_COL}={b}", f)
+                    for f in sorted(os.listdir(bdir))
+                    if f.endswith(".parquet")
+                ]
+        m2 = dict(m)
+        m2["version"] = new_version
+        m2["parent"] = m["version"]
+        m2["buckets"] = buckets
+        self._write_version(m2)
+
+    # --------------------------------------------------- housekeeping
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Drop data files only referenced by snapshots older than the
+        last ``keep_last`` versions (Iceberg expire_snapshots; the
+        reference analog is dropping drained Event_Logs partitions,
+        housekeeping.rb:45-107). Returns number of files removed."""
+        cur = self.current_version()
+        keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        live: set[str] = set()
+        for v in keep_versions:
+            try:
+                m = self.meta(v)
+            except FileNotFoundError:
+                continue
+            for files in m["buckets"].values():
+                live.update(files)
+        removed = 0
+        for root, _dirs, files in os.walk(self.data_dir):
+            for f in files:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                if f.endswith(".parquet") and rel not in live:
+                    os.remove(full)
+                    removed += 1
+        return removed

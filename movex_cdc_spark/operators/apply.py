@@ -1,0 +1,150 @@
+"""The apply pipeline: change batch → lake-table MERGE.
+
+This is the Spark shape of the reference's hot path
+(transfer_thread.rb:53-99):
+
+    events → condition filter → no-op suppression → poison split →
+    [schema evolve] → LWW dedup (salted if skewed) → MERGE →
+    dead-letter append → lineage record
+
+One micro-batch = one call; Structured Streaming drives it via
+``foreachBatch`` (streaming/pipeline.py), batch replay drives it
+directly.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from movex_cdc_spark.functions.hashing import sha256_builtin, content_sha256
+from movex_cdc_spark.lake.table import LakeTable
+from movex_cdc_spark.operators.filters import (
+    condition_filter,
+    default_exclude_condition,
+    split_poison,
+    suppress_noop_updates,
+)
+from movex_cdc_spark.operators.lww import lww_dedup, lww_dedup_salted
+
+REPO_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("content_sha", T.StringType()),
+    ]
+)
+
+KEY_COLS = ["repo", "path"]
+
+
+def prepare_batch(
+    events: DataFrame,
+    condition_sql: str | None = None,
+    salted: bool = False,
+    use_pandas_sha: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Filters + LWW + sha256. Returns (ready_batch, poison_rows).
+
+    All column work is JVM-side expressions except the optional
+    pandas_udf sha path; either way content hashing is vectorized.
+    """
+    df = condition_filter(events, condition_sql or default_exclude_condition())
+    df = suppress_noop_updates(df)
+    valid, poison = split_poison(df)
+    dedup = lww_dedup_salted(valid, KEY_COLS) if salted else lww_dedup(valid, KEY_COLS)
+    sha = content_sha256(F.col("content")) if use_pandas_sha else sha256_builtin("content")
+    ready = dedup.withColumn("content_sha", F.when(F.col("content").isNotNull(), sha))
+    return ready, poison
+
+
+def apply_batch(
+    table: LakeTable,
+    events: DataFrame,
+    epoch_id: int | None = None,
+    stream_id: str = "default",
+    condition_sql: str | None = None,
+    salted: bool = False,
+    dead_letter: "DeadLetterTable | None" = None,
+    evolve: bool = True,
+    use_pandas_sha: bool = False,
+) -> dict[str, Any]:
+    """Apply one micro-batch of change events with exactly-once fencing."""
+    t0 = time.monotonic()
+    ready, poison = prepare_batch(
+        events, condition_sql=condition_sql, salted=salted, use_pandas_sha=use_pandas_sha
+    )
+
+    if evolve:
+        batch_payload = T.StructType(
+            [f for f in ready.schema.fields if f.name not in ("seq", "op", "old_content", "ts", "txid", "is_noop")]
+        )
+        table.evolve_schema(batch_payload)
+
+    # single-pass metrics via observe (reference A1 statistics counters,
+    # statistic_counter.rb:14-48 — partial->final agg done by Spark)
+    ready = ready.observe(
+        f"apply_{stream_id}_{epoch_id}",
+        F.count(F.lit(1)).alias("events"),
+        F.max("seq").alias("max_seq"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_insert"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_update"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
+    )
+
+    lineage = table.merge(
+        ready,
+        seq_col="seq",
+        op_col="op",
+        stream_id=stream_id,
+        epoch_id=epoch_id,
+        lineage_extra={"merge_latency_s": None},  # filled below
+    )
+    if dead_letter is not None and not lineage.get("skipped"):
+        dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
+    lineage["merge_latency_s"] = round(time.monotonic() - t0, 4)
+    return lineage
+
+
+class DeadLetterTable:
+    """Append-only quarantine for poison rows (reference S11:
+    Event_Log_Final_Errors, transfer_thread.rb:468-491) with
+    retry bookkeeping (S7/ST5: retry_count, exponential backoff)."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def append(self, poison: DataFrame, stream_id: str, epoch_id: int | None) -> None:
+        out = (
+            poison.withColumn("retry_count", F.lit(0))
+            .withColumn("last_error_time", F.current_timestamp())
+            .withColumn("stream_id", F.lit(stream_id))
+            .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
+        )
+        out.write.mode("append").parquet(self.path)
+
+    def read(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return None  # nothing dead-lettered yet
+
+    def retry_eligible(self, start_delay_s: int = 20) -> DataFrame:
+        """Rows whose exponential backoff has elapsed (reference S7:
+        retry_count=0 OR last_error_time + start_delay*3^(retry-1) < now,
+        transfer_thread.rb:358-371)."""
+        df = self.read()
+        if df is None:
+            return None
+        backoff = F.expr(
+            f"last_error_time + make_interval(0,0,0,0,0,0, {start_delay_s} * pow(3, retry_count - 1))"
+        )
+        return df.filter((F.col("retry_count") == 0) | (backoff < F.current_timestamp()))

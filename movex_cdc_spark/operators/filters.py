@@ -1,0 +1,59 @@
+"""Event-stream filters: condition, no-op suppression, quarantine.
+
+These are the capture-side row filters of the reference, re-expressed
+as declarative DataFrame filters Catalyst can push into the scan:
+
+  * condition filter   — per-(table, op) SQL predicate on the row
+    (reference P3: db_trigger_generator_oracle.rb:774-777,1027-1039;
+    fixture 'EXCLUDE FILTER' test/test_helper.rb:589-600)
+  * no-op-update suppression — UPDATE only fires when a tracked column
+    actually changed, null-safe (reference P4:
+    db_trigger_generator_oracle.rb:802-823)
+  * poison split — rows failing validation are quarantined instead of
+    failing the batch; Spark's whole-task failure model makes the
+    reference's divide-and-conquer recursion (transfer_thread.rb:143-178)
+    unnecessary: validate first, dead-letter the rest (ST6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movex_cdc_spark.datagen import EXCLUDE_MARKER
+
+
+def condition_filter(df: DataFrame, condition_sql: str | None) -> DataFrame:
+    """Apply a per-table SQL condition (rows NOT matching are dropped —
+    the trigger-condition semantics: condition true ⇒ event captured)."""
+    if not condition_sql:
+        return df
+    return df.filter(F.expr(condition_sql))
+
+
+def default_exclude_condition() -> str:
+    """The fixture condition: drop rows whose content carries the
+    exclusion marker (analog of `:new.Name != 'EXCLUDE FILTER'`)."""
+    return f"content IS NULL OR NOT contains(content, '{EXCLUDE_MARKER}')"
+
+
+def suppress_noop_updates(
+    df: DataFrame, new_col: str = "content", old_col: str = "old_content", op_col: str = "op"
+) -> DataFrame:
+    """Drop updates where the tracked payload did not change.
+
+    Null-safe: `old <=> new` (eqNullSafe) mirrors the reference's
+    pairwise `old != new OR (old IS NULL) != (new IS NULL)` check."""
+    is_noop = (F.col(op_col) == "U") & F.col(old_col).eqNullSafe(F.col(new_col))
+    return df.filter(~is_noop)
+
+
+def split_poison(
+    df: DataFrame, content_col: str = "content", op_col: str = "op"
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, poison): I/U events must carry content; everything else
+    is a poison row headed for the dead-letter table (S11/ST6)."""
+    bad = F.col(content_col).isNull() & F.col(op_col).isin("I", "U")
+    return df.filter(~bad), df.filter(bad).withColumn(
+        "error_msg", F.lit("null content on insert/update")
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference sizes its pipeline with MAX_TRANSACTION_SIZE /
+MEMORY_COLLECTION_FLUSH_LIMIT / worker-thread count
+(reference: config/application.rb:288-292).  The Spark analogs are
+shuffle partition count, Arrow batch size, and AQE, set here once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "movex-cdc-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for this engine.
+
+    On a real cluster the same confs apply; only ``master`` changes
+    (spark-submit --py-files supplies the package, per BASELINE.json).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    # 2-4x cores is the usual sweet spot; at 100 TB this would be set
+    # from data volume (target ~128-256 MB per shuffle partition) and
+    # AQE coalesces the excess at runtime.
+    shuffle_partitions = shuffle_partitions or max(32, cpus * 2)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # analog of the reference's 1000-row trigger buffer flush
+        # (memory_collection_flush_limit) — Arrow transfer batch size.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
