@@ -214,6 +214,8 @@ class LakeTable:
         for f in batch_payload_schema.fields:
             if f.name in (SEQ_COL, DELETED_COL):
                 continue
+            if isinstance(f.dataType, T.NullType):
+                continue  # all-null column carries no type information
             if f.name not in by_name:
                 by_name[f.name] = T.StructField(f.name, f.dataType, True)
                 changed = True
@@ -234,7 +236,9 @@ class LakeTable:
         # preserve existing column order, append new ones
         cur_names = [f.name for f in cur.fields]
         ordered = [by_name[n] for n in cur_names] + [
-            by_name[f.name] for f in batch_payload_schema.fields if f.name not in cur_names
+            by_name[f.name]
+            for f in batch_payload_schema.fields
+            if f.name not in cur_names and f.name in by_name
         ]
         new_payload = T.StructType(ordered)
         if changed:

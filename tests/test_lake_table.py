@@ -1,0 +1,110 @@
+"""LakeTable unit behavior: bucket pruning, schema evolution, time
+travel, commit conflicts, snapshot expiry."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from movex_cdc_spark.lake.table import CommitConflict, LakeTable
+from movex_cdc_spark.operators.apply import KEY_COLS, REPO_FILES_SCHEMA
+
+COLS = ["seq", "repo", "path", "commit", "lang", "content", "op"]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=COLS))
+
+
+def _table(spark, path, n_buckets=16):
+    return LakeTable.create(spark, path, REPO_FILES_SCHEMA, KEY_COLS, n_buckets=n_buckets)
+
+
+def test_bucket_pruning(spark, tmp_lake):
+    """A batch touching one key must rewrite only that key's bucket —
+    the property that keeps merge cost O(touched data) at 10^10 rows."""
+    t = _table(spark, tmp_lake)
+    rows = [(i, f"r{i}", f"p{i}", "c", "py", f"v{i}", "I") for i in range(200)]
+    t.merge(_batch(spark, rows), epoch_id=0)
+    lin = t.merge(_batch(spark, [(1000, "r1", "p1", "c2", "py", "v1b", "U")]), epoch_id=1)
+    assert len(lin["buckets_touched"]) == 1
+    # untouched buckets carry identical file references forward
+    m_old, m_new = t.meta(t.current_version() - 1), t.meta()
+    touched = str(lin["buckets_touched"][0])
+    for b, files in m_old["buckets"].items():
+        if b != touched:
+            assert m_new["buckets"][b] == files
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got["p1"] == "v1b" and len(got) == 200
+
+
+def test_schema_evolution_add_and_widen(spark, tmp_lake):
+    t = _table(spark, tmp_lake, n_buckets=4)
+    t.merge(_batch(spark, [(1, "r", "p", "c", "py", "x", "I")]), epoch_id=0)
+    b2 = _batch(spark, [(2, "r", "p2", "c", "py", "y", "I")]).withColumn(
+        "stars", F.lit(3).cast("int")
+    )
+    t.evolve_schema(T.StructType([f for f in b2.schema.fields if f.name not in ("seq", "op")]))
+    t.merge(b2, epoch_id=1)
+    rows = {r["path"]: r for r in t.read().collect()}
+    assert rows["p"]["stars"] is None and rows["p2"]["stars"] == 3
+    # widen int -> long (metadata only, old files still readable)
+    t.evolve_schema(T.StructType([T.StructField("stars", T.LongType())]))
+    assert dict(t.read().dtypes)["stars"] == "bigint"
+    assert {r["path"]: r["stars"] for r in t.read().collect()} == {"p": None, "p2": 3}
+    # incompatible change refused
+    with pytest.raises(ValueError):
+        t.evolve_schema(T.StructType([T.StructField("content", T.LongType())]))
+
+
+def test_all_null_new_column_ignored(spark, tmp_lake):
+    """A batch column that is entirely null (NullType inference, e.g. a
+    delete-only micro-batch or a not-yet-populated new field) carries
+    no type info: merge applies, schema does not change."""
+    t = _table(spark, tmp_lake, n_buckets=4)
+    t.merge(_batch(spark, [(1, "r", "p", "c", "py", "x", "I")]), epoch_id=0)
+    b = _batch(spark, [(2, "r", "p", "c", "py", "y", "U")]).withColumn("mystery", F.lit(None))
+    t.evolve_schema(T.StructType([f for f in b.schema.fields if f.name not in ("seq", "op")]))
+    t.merge(b, epoch_id=1)
+    assert "mystery" not in [f.name for f in t.payload_schema().fields]
+    assert t.read().collect()[0]["content"] == "y"
+
+
+def test_time_travel(spark, tmp_lake):
+    t = _table(spark, tmp_lake, n_buckets=4)
+    t.merge(_batch(spark, [(1, "r", "p", "c", "py", "v1", "I")]), epoch_id=0)
+    v1 = t.current_version()
+    t.merge(_batch(spark, [(2, "r", "p", "c", "py", "v2", "U")]), epoch_id=1)
+    assert t.read().collect()[0]["content"] == "v2"
+    assert t.read(version=v1).collect()[0]["content"] == "v1"
+
+
+def test_commit_conflict(spark, tmp_lake):
+    t = _table(spark, tmp_lake, n_buckets=2)
+    m = t.meta()
+    m2 = dict(m)
+    m2["version"], m2["parent"] = m["version"] + 1, m["version"]
+    t._write_version(m2)
+    with pytest.raises(CommitConflict):
+        t._write_version(dict(m2))
+
+
+def test_expire_snapshots(spark, tmp_lake):
+    t = _table(spark, tmp_lake, n_buckets=2)
+    for i in range(4):
+        t.merge(_batch(spark, [(i + 1, "r", "p", "c", "py", f"v{i}", "I" if i == 0 else "U")]), epoch_id=i)
+    before = t.read().collect()
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert t.read().collect() == before
+
+
+def test_empty_and_null_key_batch(spark, tmp_lake):
+    t = _table(spark, tmp_lake, n_buckets=2)
+    empty = spark.createDataFrame([], _batch(spark, [(1, "r", "p", "c", "py", "x", "I")]).schema)
+    assert t.merge(empty, epoch_id=0).get("skipped")
+    # null key column routes deterministically (eqNullSafe join), no crash
+    t.merge(_batch(spark, [(1, None, "p", "c", "py", "x", "I")]), epoch_id=1)
+    t.merge(_batch(spark, [(2, None, "p", "c", "py", "y", "U")]), epoch_id=2)
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "y"
