@@ -17,7 +17,7 @@ from __future__ import annotations
 import time
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -73,6 +73,7 @@ def apply_batch(
     condition_sql: str | None = None,
     salted: bool = False,
     dead_letter: "DeadLetterTable | None" = None,
+    metrics: "object | None" = None,
     evolve: bool = True,
     use_pandas_sha: bool = False,
 ) -> dict[str, Any]:
@@ -88,10 +89,12 @@ def apply_batch(
         )
         table.evolve_schema(batch_payload)
 
-    # single-pass metrics via observe (reference A1 statistics counters,
-    # statistic_counter.rb:14-48 — partial->final agg done by Spark)
+    # single-pass metrics riding the merge job itself — no extra scan
+    # (reference A1 statistics counters, statistic_counter.rb:14-48;
+    # the partial->final combine is Spark's own partial aggregation)
+    obs = Observation(f"apply_{stream_id}_{epoch_id}_{time.monotonic_ns()}")
     ready = ready.observe(
-        f"apply_{stream_id}_{epoch_id}",
+        obs,
         F.count(F.lit(1)).alias("events"),
         F.max("seq").alias("max_seq"),
         F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_insert"),
@@ -105,11 +108,32 @@ def apply_batch(
         op_col="op",
         stream_id=stream_id,
         epoch_id=epoch_id,
-        lineage_extra={"merge_latency_s": None},  # filled below
     )
-    if dead_letter is not None and not lineage.get("skipped"):
-        dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
     lineage["merge_latency_s"] = round(time.monotonic() - t0, 4)
+    if lineage.get("skipped"):
+        return lineage
+
+    n_poison = 0
+    if dead_letter is not None:
+        n_poison = dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
+    if metrics is not None:
+        got = obs.get
+        metrics.append(
+            {
+                "stream_id": stream_id,
+                "epoch_id": epoch_id,
+                "table_version": lineage.get("version"),
+                "events": got.get("events"),
+                "n_insert": got.get("n_insert"),
+                "n_update": got.get("n_update"),
+                "n_delete": got.get("n_delete"),
+                "n_poison": n_poison,
+                "max_seq": got.get("max_seq"),
+                "buckets_touched": len(lineage.get("buckets_touched", [])),
+                "merge_latency_s": lineage["merge_latency_s"],
+            }
+        )
+        lineage["metrics"] = got
     return lineage
 
 
@@ -122,14 +146,17 @@ class DeadLetterTable:
         self.spark = spark
         self.path = path
 
-    def append(self, poison: DataFrame, stream_id: str, epoch_id: int | None) -> None:
+    def append(self, poison: DataFrame, stream_id: str, epoch_id: int | None) -> int:
         out = (
             poison.withColumn("retry_count", F.lit(0))
             .withColumn("last_error_time", F.current_timestamp())
             .withColumn("stream_id", F.lit(stream_id))
             .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
         )
+        obs = Observation(f"dl_{stream_id}_{epoch_id}_{time.monotonic_ns()}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         out.write.mode("append").parquet(self.path)
+        return int(obs.get.get("n", 0))
 
     def read(self) -> DataFrame:
         try:

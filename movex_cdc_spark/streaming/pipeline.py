@@ -1,0 +1,94 @@
+"""The streaming shell: checkpointed foreachBatch apply (SURVEY §7.1-3).
+
+One Structured Streaming query per target table — the analog of the
+reference's worker pool (thread_handling.rb:18-48), except ordering
+and exclusivity come from the key-hash shuffle inside the batch, not
+from thread-per-key-slice affinity.
+
+Exactly-once contract (reference ST2, transfer_thread.rb:68-80):
+Spark may re-execute a foreachBatch with the same epoch_id after a
+crash between the sink commit and the checkpoint commit — precisely
+the reference's Kafka-commit-then-DB-delete hazard window
+(transfer_thread.rb:171-177). The lake table's epoch fence makes the
+re-execution a no-op, so end state is exactly-once; resume is the
+checkpoint's offset log (ST11).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from movex_cdc_spark.lake.table import LakeTable
+from movex_cdc_spark.operators.apply import DeadLetterTable, apply_batch
+from movex_cdc_spark.sources.events import read_events_stream
+from movex_cdc_spark.streaming.lineage import MetricsTable
+
+
+class CdcStreamPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        events_dir: str,
+        checkpoint_dir: str,
+        stream_id: str = "cdc",
+        dead_letter_dir: str | None = None,
+        metrics_dir: str | None = None,
+        condition_sql: str | None = None,
+        salted: bool = False,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.events_dir = events_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.stream_id = stream_id
+        self.dead_letter = DeadLetterTable(spark, dead_letter_dir) if dead_letter_dir else None
+        self.metrics = MetricsTable(spark, metrics_dir) if metrics_dir else None
+        self.condition_sql = condition_sql
+        self.salted = salted
+        self.max_files_per_trigger = max_files_per_trigger
+        self.epochs: list[dict[str, Any]] = []  # this run's lineage records
+
+    def _apply(self, batch_df, epoch_id: int) -> None:
+        lin = apply_batch(
+            self.table,
+            batch_df,
+            epoch_id=epoch_id,
+            stream_id=self.stream_id,
+            condition_sql=self.condition_sql,
+            salted=self.salted,
+            dead_letter=self.dead_letter,
+            metrics=self.metrics,
+        )
+        self.epochs.append(lin)
+
+    def start(self, available_now: bool = True, processing_time: str | None = None):
+        stream = read_events_stream(
+            self.spark, self.events_dir, self.max_files_per_trigger
+        )
+        w = (
+            stream.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(f"cdc-{self.stream_id}")
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        elif processing_time:
+            w = w.trigger(processingTime=processing_time)
+        return w.start()
+
+    def run_available_now(self, timeout_s: int = 600) -> list[dict[str, Any]]:
+        """Drain everything currently in the event dir, then stop —
+        Trigger.AvailableNow replay (the 10^10-logical-scale pattern:
+        bounded reprocessing of an arbitrarily large backlog in
+        maxFilesPerTrigger-sized micro-batches)."""
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+        if q.exception():
+            raise q.exception()
+        return self.epochs
