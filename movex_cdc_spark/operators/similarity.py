@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as the task list prescribes:
+
+  * brute-force cosine top-k — correctness baseline. The dot product
+    is a sequential array fold (F.aggregate over zip_with) in double
+    precision, so the oracle reproduces it bit-for-bit. The query set
+    is broadcast against the corpus: at 10^10 corpus rows this is one
+    corpus scan per query batch, embarrassingly parallel, no shuffle
+    until the per-query top-k combine.
+  * sign-LSH bucketed ANN — the scale path: bucket = sign pattern of
+    the first b dimensions (a fixed, deterministic random-hyperplane
+    sketch). Candidates share a bucket; cosine is computed only inside
+    buckets. Recall/latency trades with b.
+
+No Python UDFs: array arithmetic stays in Catalyst codegen. (A Pandas
+UDF with numpy matmul becomes worthwhile when k and dim are large;
+plumbing for that lives in multimodal.py's batch-UDF pattern.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ID_COL = "vec_id"
+VEC_COL = "embedding"
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = VEC_COL) -> DataFrame:
+    return df.withColumn(
+        "norm",
+        F.sqrt(
+            F.expr(
+                f"aggregate(transform({vec_col}, x -> cast(x as double) * cast(x as double)),"
+                f" cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+        ),
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 3,
+    max_query_id: int | None = 30,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (baseline ANN).
+
+    Plan shape: broadcast(queries) x corpus -> fold dot product ->
+    per-query top-k window. Ties broken by neighbor id."""
+    c = with_norm(corpus).select(
+        F.col(ID_COL).alias("n_id"), F.col(VEC_COL).alias("n_vec"), F.col("norm").alias("n_norm")
+    )
+    q = with_norm(corpus)
+    if query_ids is not None:
+        q = q.filter(F.col(ID_COL).isin(query_ids))
+    elif max_query_id is not None:
+        q = q.filter(F.col(ID_COL) < max_query_id)
+    q = q.select(
+        F.col(ID_COL).alias("q_id"), F.col(VEC_COL).alias("q_vec"), F.col("norm").alias("q_norm")
+    )
+    pairs = F.broadcast(q).join(c, F.col("q_id") != F.col("n_id"))
+    scored = pairs.withColumn(
+        "cosine", F.round(_dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm")), round_to)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("n_id").alias("neighbor_id"), "cosine", "rk")
+    )
+
+
+def sign_lsh_bucket(df: DataFrame, bits: int = 8, vec_col: str = VEC_COL):
+    """Deterministic sign-pattern bucket over the first `bits` dims —
+    a fixed random-hyperplane LSH (axis-aligned hyperplanes)."""
+    return F.expr(
+        f"concat_ws('', transform(slice({vec_col}, 1, {bits}),"
+        f" x -> case when x >= 0 then '1' else '0' end))"
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame, k: int = 1, bits: int = 8, max_query_id: int | None = 30, round_to: int = 6
+) -> DataFrame:
+    """ANN via sign-LSH blocking: cosine computed only within buckets.
+    The bucket equi-join replaces the cross join — at 10^10 rows the
+    per-bucket candidate sets are ~|corpus| / 2^bits."""
+    withb = with_norm(corpus).withColumn("bucket", sign_lsh_bucket(corpus, bits))
+    q = withb.filter(F.col(ID_COL) < max_query_id) if max_query_id is not None else withb
+    q = q.select(
+        F.col(ID_COL).alias("q_id"), F.col(VEC_COL).alias("q_vec"),
+        F.col("norm").alias("q_norm"), "bucket",
+    )
+    c = withb.select(
+        F.col(ID_COL).alias("n_id"), F.col(VEC_COL).alias("n_vec"),
+        F.col("norm").alias("n_norm"), "bucket",
+    )
+    pairs = q.join(c, ["bucket"]).filter(F.col("q_id") != F.col("n_id"))
+    scored = pairs.withColumn(
+        "cosine", F.round(_dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm")), round_to)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("n_id").alias("neighbor_id"), "cosine", "rk")
+    )

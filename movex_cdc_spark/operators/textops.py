@@ -1,0 +1,97 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting. All built-in expressions (codegen);
+the per-row Python path is deliberately avoided per the north rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = [
+    "the", "a", "an", "of", "and", "to", "in", "is", "on", "for",
+    "with", "at", "by", "from", "as", "it", "that", "this", "be", "or",
+]
+
+ID_COL = "doc_id"
+TEXT_COL = "text"
+
+
+def language_id(df: DataFrame, threshold: float = 0.08) -> DataFrame:
+    """n-gram/stopword heuristic language ID: English stopword ratio
+    over whitespace tokens; >= threshold -> 'en', else 'other'."""
+    sw = ",".join(f"'{w}'" for w in STOPWORDS)
+    toks = df.withColumn("toks", F.split(F.col(TEXT_COL), " "))
+    scored = toks.withColumn(
+        "sw_ratio",
+        F.round(
+            F.expr(f"size(filter(toks, t -> lower(t) in ({sw})))")
+            / F.greatest(F.size("toks"), F.lit(1)),
+            6,
+        ),
+    )
+    return scored.select(
+        ID_COL,
+        "sw_ratio",
+        F.when(F.col("sw_ratio") >= threshold, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Quality heuristics: length, token stats, punctuation density,
+    digit density, mean token length; composite score in [0,1]."""
+    toks = df.withColumn("toks", F.split(F.col(TEXT_COL), " "))
+    m = toks.select(
+        ID_COL,
+        F.length(TEXT_COL).alias("n_chars"),
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            (F.length(TEXT_COL) - F.length(F.regexp_replace(F.col(TEXT_COL), "[.!?,;:]", "")))
+            / F.greatest(F.length(TEXT_COL), F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            (F.length(TEXT_COL) - F.length(F.regexp_replace(F.col(TEXT_COL), "[0-9]", "")))
+            / F.greatest(F.length(TEXT_COL), F.lit(1)),
+            6,
+        ).alias("digit_ratio"),
+        F.round(
+            F.expr("aggregate(toks, 0, (acc, t) -> acc + length(t))")
+            / F.greatest(F.size("toks"), F.lit(1)),
+            6,
+        ).alias("mean_tok_len"),
+    )
+    return m.withColumn(
+        "quality",
+        F.round(
+            F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+            + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.25
+            + (1 - F.least(F.col("digit_ratio") * 5, F.lit(1.0))) * 0.25,
+            6,
+        ),
+    )
+
+
+def token_counts(df: DataFrame) -> DataFrame:
+    """Whitespace tokens plus a BPE-ish subword proxy: runs of letters,
+    runs of digits, and single punctuation marks each count as one."""
+    return df.select(
+        ID_COL,
+        F.size(F.split(F.col(TEXT_COL), " ")).alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all({TEXT_COL}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length(TEXT_COL).alias("n_chars"),
+    )
+
+
+def fingerprint(df: DataFrame) -> DataFrame:
+    """Order-insensitive document fingerprint: sha256 of the sorted
+    distinct token bag — robust to token reordering, the cheap analog
+    of a rolling-hash winnowing fingerprint."""
+    return df.select(
+        ID_COL,
+        F.sha2(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col(TEXT_COL), " ")))), 256
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,902 @@
+"""Driver-contract queries: each SURVEY §2 operator expressed over the
+shared testdata tables, with a DuckDB oracle SQL string.
+
+The `events` table plays the change-event log (the Event_Logs analog):
+key = user_id, seq = event_id, op derived from event_type
+(signup→I, click/view/purchase→U, error→D). TPC-H-ish tables cover the
+join/agg/sort operator families; documents/embeddings cover the
+training-data pipeline operators.
+
+Every computed column is aliased identically in the Spark plan and the
+oracle SQL (the driver hash-compares by sorted column name). Floating
+aggregates are computed over DECIMAL and rounded in BOTH engines so
+summation order can't skew the hash.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# CDC op derivation shared by the event-log queries
+OP_CASE_SQL = "CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END"
+
+
+def _with_op(df: DataFrame) -> DataFrame:
+    return df.withColumn("op", F.expr(OP_CASE_SQL))
+
+
+# --------------------------------------------------------------- W3: LWW
+@register(
+    "cdc_lww_latest_state",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_seq, event_type AS last_event_type,
+           value AS last_value, ts AS last_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_lww_latest_state(spark, sf_dir):
+    """Last-writer-wins per key by sequence (SURVEY W3; engine core).
+
+    Reference semantics: per-key ordered replay keeps only the newest
+    image (kafka_mock.rb:49-63 ordering contract)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_seq"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "cdc_salted_lww_two_phase",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_seq FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_salted_lww_two_phase(spark, sf_dir):
+    """Salted two-phase LWW (SURVEY A7, north rule hot-key handling):
+    phase 1 locally combines within (key, salt), phase 2 merges across
+    salts. Same answer as plain LWW — that equivalence (associativity
+    of max-by-seq) is exactly what the oracle checks."""
+    from movex_cdc_spark.operators.lww import lww_dedup_salted
+
+    ev = load(spark, sf_dir, "events")
+    return lww_dedup_salted(ev, ["user_id"], seq_col="event_id", salt_buckets=8).select(
+        "user_id", F.col("event_id").alias("last_seq")
+    )
+
+
+# ------------------------------------------------- replay to final state
+@register(
+    "cdc_apply_final_state",
+    f"""
+    WITH tagged AS (
+      SELECT *, {OP_CASE_SQL} AS op FROM events),
+    ranked AS (
+      SELECT user_id, event_id, op, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM tagged)
+    SELECT user_id, event_id AS last_seq, event_type AS last_event_type,
+           value AS last_value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_final_state(spark, sf_dir):
+    """Replay-to-final-state (MERGE semantics, SURVEY §2.3 MERGE):
+    LWW per key, delete wins if newest — the materialized equivalent of
+    ordered per-key replay with WHEN MATCHED/NOT MATCHED rules."""
+    ev = _with_op(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_seq"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# -------------------------------------------- P4: no-op change suppression
+@register(
+    "cdc_noop_suppression",
+    """
+    WITH lagged AS (
+      SELECT event_id, user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+      FROM events)
+    SELECT event_id, user_id, value
+    FROM lagged
+    WHERE prev_value IS NULL OR value IS DISTINCT FROM prev_value
+    """,
+)
+def cdc_noop_suppression(spark, sf_dir):
+    """No-op-update suppression (SURVEY P4): drop an event whose
+    tracked payload equals the previous image, null-safe (reference
+    pairwise old/new compare, db_trigger_generator_oracle.rb:802-823)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = ev.withColumn("prev_value", F.lag("value").over(w))
+    return lagged.filter(
+        F.col("prev_value").isNull() | ~F.col("value").eqNullSafe(F.col("prev_value"))
+    ).select("event_id", "user_id", "value")
+
+
+# ------------------------------------------------- A1: statistics counters
+@register(
+    "cdc_stats_counters",
+    f"""
+    SELECT {OP_CASE_SQL} AS op, event_type,
+           count(*) AS events,
+           round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def cdc_stats_counters(spark, sf_dir):
+    """Per-(operation, type) throughput counters (SURVEY A1; reference
+    statistic_counter.rb:14-48 two-phase combine = Spark partial agg)."""
+    ev = _with_op(load(spark, sf_dir, "events"))
+    return ev.groupBy("op", "event_type").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("sum_value"),
+    )
+
+
+# --------------------------------------------- A3: time-rollup compression
+@register(
+    "cdc_stats_rollup_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour, {OP_CASE_SQL} AS op,
+           count(*) AS events,
+           round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def cdc_stats_rollup_hourly(spark, sf_dir):
+    """Statistics compression to hourly grain (SURVEY A3; reference
+    compress_statistics.rb:26-59) — one tumbling-window shuffle, not a
+    20000-group-per-pass loop."""
+    ev = _with_op(load(spark, sf_dir, "events"))
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "op"
+    ).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("sum_value"),
+    )
+
+
+# ------------------------------------------------ A4: min/max/count health
+@register(
+    "cdc_minmax_health",
+    """
+    SELECT count(*) AS n_events, min(event_id) AS min_seq, max(event_id) AS max_seq,
+           min(ts) AS min_ts, max(ts) AS max_ts,
+           count(DISTINCT user_id) AS n_keys
+    FROM events
+    """,
+)
+def cdc_minmax_health(spark, sf_dir):
+    """Queue health stats (SURVEY A4; reference event_log.rb:102-134)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_seq"),
+        F.max("event_id").alias("max_seq"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+
+
+# --------------------------------------------- S7/ST5: retry backoff filter
+@register(
+    "cdc_retry_backoff_eligible",
+    """
+    WITH sim AS (
+      SELECT event_id, user_id, ts, (event_id % 6) AS retry_count FROM events),
+    bound AS (SELECT max(epoch(ts)) AS now_s FROM events)
+    SELECT event_id, user_id, retry_count
+    FROM sim, bound
+    WHERE retry_count = 0
+       OR epoch(ts) + 20 * power(3, retry_count - 1) < now_s
+    """,
+)
+def cdc_retry_backoff_eligible(spark, sf_dir):
+    """Exponential retry backoff eligibility (SURVEY S7/ST5; reference
+    Retry_Count=0 OR Last_Error_Time + start_delay*3^(retry-1) < now,
+    transfer_thread.rb:358-371). retry_count simulated as seq % 6."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "retry_count", F.col("event_id") % 6
+    )
+    now_s = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    return ev.filter(
+        (F.col("retry_count") == 0)
+        | (F.unix_timestamp("ts") + 20 * F.pow(F.lit(3), F.col("retry_count") - 1) < F.lit(now_s))
+    ).select("event_id", "user_id", "retry_count")
+
+
+# -------------------------------------------------- S4: keyed worker slice
+@register(
+    "cdc_keyed_slice",
+    """
+    SELECT user_id, count(*) AS events, min(event_id) AS min_seq, max(event_id) AS max_seq
+    FROM events WHERE (user_id % 8) = 3 GROUP BY user_id
+    """,
+)
+def cdc_keyed_slice(spark, sf_dir):
+    """Worker key-affinity slice (SURVEY S4; reference
+    MOD(ORA_HASH(Msg_Key,1e6), workers) = :worker_id,
+    transfer_thread.rb:239-242). Arithmetic mod here so the oracle can
+    reproduce it; the engine's real slicing is the hash-bucket shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") % 8 == 3)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.min("event_id").alias("min_seq"),
+            F.max("event_id").alias("max_seq"),
+        )
+    )
+
+
+# --------------------------------------------- P7: message envelope assembly
+@register(
+    "cdc_envelope",
+    f"""
+    SELECT event_id AS id,
+           'public' AS schema_name,
+           'events' AS table_name,
+           CASE {OP_CASE_SQL} WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END AS operation,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+           CAST(user_id AS VARCHAR) AS msg_key,
+           (event_id // 100) AS transaction_id
+    FROM events WHERE event_id < 500
+    """,
+)
+def cdc_envelope(spark, sf_dir):
+    """Message envelope assembly (SURVEY P7; reference
+    transfer_thread.rb:493-536: {id, schema, tablename, operation-long,
+    timestamp-ISO, transaction_id} + key handling table.rb:67-85)."""
+    ev = _with_op(load(spark, sf_dir, "events")).filter(F.col("event_id") < 500)
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.lit("public").alias("schema_name"),
+        F.lit("events").alias("table_name"),
+        F.when(F.col("op") == "I", "INSERT")
+        .when(F.col("op") == "U", "UPDATE")
+        .otherwise("DELETE")
+        .alias("operation"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
+        F.col("user_id").cast("string").alias("msg_key"),
+        (F.col("event_id") / 100).cast("long").alias("transaction_id"),
+    )
+
+
+# ------------------------------------------- W2: per-key ordering invariant
+@register(
+    "cdc_per_key_order_stats",
+    """
+    WITH d AS (
+      SELECT user_id, event_id,
+             event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+      FROM events)
+    SELECT user_id, count(*) AS n, min(gap) AS min_gap, max(gap) AS max_gap
+    FROM d WHERE gap IS NOT NULL GROUP BY user_id
+    """,
+)
+def cdc_per_key_order_stats(spark, sf_dir):
+    """Per-key monotone delivery invariant stats (SURVEY W2; reference
+    kafka_mock.rb:49-63 asserts ascending id per keyed message)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    d = ev.withColumn("gap", F.col("event_id") - F.lag("event_id").over(w))
+    return (
+        d.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("gap").alias("min_gap"), F.max("gap").alias("max_gap"))
+    )
+
+
+# =====================================================================
+# Join / aggregation / sort operator families (SURVEY §2.3-2.7) over the
+# TPC-H-ish tables. Money math is done on DECIMAL and rounded in both
+# engines so summation order can't skew the comparison hash.
+# =====================================================================
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS sum_qty,
+           round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sum_base_price,
+           round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))), 2)::DOUBLE AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + hash agg with partial combine
+    (the canonical 'throughput counter' at analytics scale; SURVEY A1).
+    Filter and column pruning push into the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast(DEC)), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))), 2
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    customer side is broadcast (small after the segment filter);
+    deterministic tie-break on orderkey."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))), 2
+            ).cast("double").alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2))), 2)::DOUBLE AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q5_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5 shape: star join (fact ⋈ 4 dims). All dimension tables
+    broadcast; the only shuffle left is the final groupBy — at 100 TB
+    that is the plan you want (lineitem never re-partitions for joins)."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))), 2
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark, sf_dir):
+    """Left-anti join (SURVEY J3/J6 composition: the allowed-tables
+    outer-join+filter and the lock-exclusion anti-join)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_semi_active_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+    """,
+)
+def join_semi_active_suppliers(spark, sf_dir):
+    """Left-semi join (SURVEY J3): suppliers with recent shipments."""
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "2001-01-01")
+    return s.join(l, s.s_suppkey == l.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+@register(
+    "join_multikey_config_assembly",
+    """
+    SELECT o.o_orderpriority, l.l_linestatus, count(*) AS n,
+           round(sum(l.l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS sum_qty
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey AND l.l_linenumber <= 3
+    GROUP BY o.o_orderpriority, l.l_linestatus
+    """,
+)
+def join_multikey_config_assembly(spark, sf_dir):
+    """Multi-predicate equi join + agg (SURVEY J2/J4: config assembly
+    and PK-constraint joins)."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, (l.l_orderkey == o.o_orderkey) & (l.l_linenumber <= 3))
+        .groupBy("o_orderpriority", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast(DEC)), 2).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "window_topk_per_group",
+    """
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             round(sum(l.l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS part_revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, l.l_partkey),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY part_revenue DESC, l_partkey) AS rk
+      FROM rev)
+    SELECT p_brand, l_partkey, part_revenue, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-k per group via ranking window (SURVEY W5 KEEP DENSE_RANK
+    analog; L-family sorts/limits). Deterministic tie-break on partkey."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 2).cast("double").alias("part_revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("part_revenue").desc(), F.col("l_partkey"))
+    return rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@register(
+    "set_union_operation_dimension",
+    """
+    SELECT op, count(*) AS n FROM (
+      SELECT 'I' AS op FROM events WHERE event_type = 'signup'
+      UNION ALL SELECT 'U' AS op FROM events WHERE event_type IN ('click','view','purchase')
+      UNION ALL SELECT 'D' AS op FROM events WHERE event_type = 'error'
+    ) GROUP BY op
+    """,
+)
+def set_union_operation_dimension(spark, sf_dir):
+    """UNION ALL synthesis of the I/U/D operation dimension (SURVEY
+    §2.7; reference db_trigger_generator_oracle.rb:111-115)."""
+    ev = load(spark, sf_dir, "events")
+    i = ev.filter(F.col("event_type") == "signup").select(F.lit("I").alias("op"))
+    u = ev.filter(F.col("event_type").isin("click", "view", "purchase")).select(F.lit("U").alias("op"))
+    d = ev.filter(F.col("event_type") == "error").select(F.lit("D").alias("op"))
+    return i.unionByName(u).unionByName(d).groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "scalar_function_battery",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_snake,
+           length(p_name) AS name_len,
+           strpos(p_name, 'a') AS first_a,
+           trim(concat(' ', p_brand, ' ')) AS brand_trim,
+           (p_size % 7) AS size_mod,
+           round(power(p_size, 2), 0)::DOUBLE AS size_sq,
+           round(p_retailprice::DECIMAL(18,2) * 110 / 100, 2)::DOUBLE AS price_with_tax,
+           concat_ws('#', p_brand, p_type) AS brand_type
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def scalar_function_battery(spark, sf_dir):
+    """Scalar string/math/conversion family (SURVEY §2.8): the Spark
+    equivalents of the trigger generators' REPLACE/SUBSTR/INSTR/TRIM,
+    MOD/POWER/TO_NUMBER and JSON value conversions."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.length("p_name").alias("name_len"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.round(F.pow(F.col("p_size"), 2), 0).cast("double").alias("size_sq"),
+        F.round(F.col("p_retailprice").cast(DEC) * 110 / 100, 2).cast("double").alias("price_with_tax"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "date_function_battery",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+           year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+           dayofweek(o_orderdate) + 1 AS dow,  -- duckdb Sunday=0; spark Sunday=1
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 90 DAY AS due_date,
+           date_diff('day', TIMESTAMP '2000-01-01 00:00:00', o_orderdate) AS days_since_2000
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def date_function_battery(spark, sf_dir):
+    """Date/time family (SURVEY §2.8: TO_CHAR ISO formats, interval
+    arithmetic, NUMTODSINTERVAL analogs)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("2000-01-01").cast("timestamp")).cast("long").alias("days_since_2000"),
+    )
+
+
+# =====================================================================
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# over documents + embeddings — first-class components per the task
+# brief, each with a bit-exact DuckDB oracle (hash primitives are
+# sha256-based precisely so the oracle can reproduce them).
+# =====================================================================
+
+_SHINGLES_CTE = """
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                      for i in range(1, greatest(len(w)-2, 0)+1)]) END AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+"""
+
+
+@register(
+    "dedup_exact_sha",
+    """
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)
+    SELECT sha256(text) AS content_sha, count(*) AS n_docs,
+           min(doc_id) AS keeper_id, max(doc_id) AS max_id
+    FROM uni GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact_sha(spark, sf_dir):
+    """Exact dedup by content sha256 (hash-groupBy — one shuffle on a
+    64-hex key). A shifted copy of every 3rd doc is unioned in so the
+    operator provably finds the duplicate groups and elects keepers."""
+    from movex_cdc_spark.operators.dedup import exact_dup_groups
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_dup_groups(d.unionByName(dup))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+    FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup candidate pairs by 3-gram shingle Jaccard (blocking on
+    shared shingles — no O(n²) cross join)."""
+    from movex_cdc_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.2)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             [list_min([sha256(i::VARCHAR || '|' || s) for s in shingles]) for i in range(0, 8)] AS sig
+      FROM sh WHERE len(shingles) > 0),
+    bands AS (
+      SELECT doc_id, b AS band_idx, array_to_string(sig[b*2+1 : b*2+2], '') AS band_val
+      FROM sig, unnest(range(0, 4)) AS t(b))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (k=8) + LSH banding (4 bands x 2 rows): shingle ->
+    minhash -> band -> bucket-join. Only the band-bucket equi-join
+    shuffles; signatures are array expressions inside codegen."""
+    from movex_cdc_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents")
+    from movex_cdc_spark.operators.dedup import with_shingles
+
+    nonempty = with_shingles(d, 3).filter(F.size("shingles") > 0).select("doc_id", "text")
+    return minhash_lsh_pairs(nonempty, k=8, rows_per_band=2, n=3)
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+    SELECT doc_id,
+           array_to_string([CASE WHEN list_sum(
+               [CASE WHEN substr(sha256(tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+                     THEN 1 ELSE -1 END for tok in toks]) >= 0 THEN '1' ELSE '0' END
+             for i in range(1, 17)], '') AS simhash
+    FROM t
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints (sign-aggregated token hashes) —
+    near-dups collide on the fingerprint; grouping, not pairwise."""
+    from movex_cdc_spark.operators.dedup import simhash16
+
+    return simhash16(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH nm AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_reduce([x * x for x in embedding::DOUBLE[]], (a, b) -> a + b)) AS norm
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round(list_reduce([z[1] * z[2] for z in list_zip(q.v, c.v)], (a, b) -> a + b)
+                   / (q.norm * c.norm), 6) AS cosine
+      FROM nm q JOIN nm c ON q.vec_id < 30 AND q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+      FROM pairs)
+    SELECT q_id, n_id AS neighbor_id, cosine, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (ANN correctness baseline): broadcast
+    query batch x corpus scan, sequential-fold dot product in double
+    so the oracle is bit-exact, per-query top-k window."""
+    from movex_cdc_spark.operators.similarity import cosine_topk_bruteforce
+
+    return cosine_topk_bruteforce(load(spark, sf_dir, "embeddings"), k=3, max_query_id=30)
+
+
+@register(
+    "ann_lsh_bucketed",
+    """
+    WITH nm AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_reduce([x * x for x in embedding::DOUBLE[]], (a, b) -> a + b)) AS norm,
+             array_to_string([CASE WHEN x >= 0 THEN '1' ELSE '0' END
+                              for x in (embedding::DOUBLE[])[1:8]], '') AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round(list_reduce([z[1] * z[2] for z in list_zip(q.v, c.v)], (a, b) -> a + b)
+                   / (q.norm * c.norm), 6) AS cosine
+      FROM nm q JOIN nm c ON q.bucket = c.bucket AND q.vec_id < 30 AND q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+      FROM pairs)
+    SELECT q_id, n_id AS neighbor_id, cosine, rk FROM ranked WHERE rk <= 1
+    """,
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """Scale-path ANN: sign-LSH bucket blocking (fixed hyperplanes on
+    the first 8 dims) — cosine only inside buckets; candidate sets are
+    ~|corpus|/2^bits instead of |corpus|."""
+    from movex_cdc_spark.operators.similarity import cosine_topk_lsh
+
+    return cosine_topk_lsh(load(spark, sf_dir, "embeddings"), k=1, bits=8, max_query_id=30)
+
+
+@register(
+    "embedding_stats_by_label",
+    """
+    WITH nm AS (
+      SELECT label, len(embedding) AS dim,
+             sqrt(list_reduce([x * x for x in embedding::DOUBLE[]], (a, b) -> a + b)) AS norm
+      FROM embeddings)
+    SELECT label, count(*) AS n, min(dim) AS min_dim, max(dim) AS max_dim,
+           round(sum(norm::DECIMAL(28,8)), 4)::DOUBLE AS sum_norm
+    FROM nm GROUP BY label
+    """,
+)
+def embedding_stats_by_label(spark, sf_dir):
+    """Embedding-column hygiene stats per label (decimal-summed norms
+    so aggregation order can't skew the compare)."""
+    from movex_cdc_spark.operators.similarity import with_norm
+
+    e = with_norm(load(spark, sf_dir, "embeddings"))
+    return (
+        e.select("label", F.size("embedding").alias("dim"), "norm")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+            F.round(F.sum(F.col("norm").cast("decimal(28,8)")), 4).cast("double").alias("sum_norm"),
+        )
+    )
+
+
+@register(
+    "text_language_id",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             round(len(list_filter(toks, t -> lower(t) IN
+               ('the','a','an','of','and','to','in','is','on','for',
+                'with','at','by','from','as','it','that','this','be','or')))
+               / greatest(len(toks), 1), 6) AS sw_ratio
+      FROM t)
+    SELECT doc_id, sw_ratio,
+           CASE WHEN sw_ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang
+    FROM s
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Heuristic language ID by English stopword ratio (n-gram
+    heuristic family)."""
+    from movex_cdc_spark.operators.textops import language_id
+
+    return language_id(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_score",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+             round((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   / greatest(length(text), 1), 6) AS digit_ratio,
+             round(list_sum([length(tk) for tk in toks]) / greatest(len(toks), 1), 6) AS mean_tok_len
+      FROM t)
+    SELECT *, round(least(n_tokens / 100.0, 1.0) * 0.5
+                    + (1 - least(punct_ratio * 5, 1.0)) * 0.25
+                    + (1 - least(digit_ratio * 5, 1.0)) * 0.25, 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length/punct/digit/token-length heuristics with
+    a composite score — the filter stage of a data pipeline."""
+    from movex_cdc_spark.operators.textops import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex token proxy."""
+    from movex_cdc_spark.operators.textops import token_counts
+
+    return token_counts(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-insensitive bag-of-tokens document fingerprint."""
+    from movex_cdc_spark.operators.textops import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents"))

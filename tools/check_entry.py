@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on sf0.01 and compares
+against ``oracle_sql()`` via DuckDB: row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted,
+floats rounded to 9 significant places before hashing).
+
+Usage: python tools/check_entry.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "\\N"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = ["\x1f".join(_norm_cell(v) for v in row) for row in df.itertuples(index=False)]
+    rows.sort()
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
+def main(names: list[str] | None = None) -> int:
+    import __spark_entry__ as entry
+    from movex_cdc_spark.session import get_spark
+
+    spark = get_spark(cpus=8, extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = names or list(qs)
+    failures = 0
+    for name in names:
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            spdf = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spdf)} rows (no oracle — rows-only check)")
+            continue
+        try:
+            opdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
+            failures += 1
+            continue
+        problems = []
+        if len(spdf) != len(opdf):
+            problems.append(f"rows {len(spdf)} != {len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(f"cols {sorted(spdf.columns)} != {sorted(opdf.columns)}")
+        elif value_hash(spdf) != value_hash(opdf):
+            problems.append("value hash mismatch")
+            s = spdf[sorted(spdf.columns)].astype(str).sort_values(list(sorted(spdf.columns))).reset_index(drop=True)
+            o = opdf[sorted(opdf.columns)].astype(str).sort_values(list(sorted(opdf.columns))).reset_index(drop=True)
+            diff = (s != o).any(axis=1) if len(s) == len(o) else None
+            if diff is not None and diff.any():
+                i = diff.idxmax()
+                problems.append(f"first diff row {i}: spark={s.iloc[i].tolist()} oracle={o.iloc[i].tolist()}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(spdf)} rows")
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1:] or None) else 0)
