@@ -50,24 +50,39 @@ class GenParams:
     content_words: int = 12
 
 
+_N_PHRASES = 4096
+
+
+def _phrase_vocab(words_per_phrase: int) -> np.ndarray:
+    """Small deterministic vocabulary of multi-word phrases, built once
+    per phrase length — content assembly is then O(1) string concats
+    per row instead of O(words), which is what lets the generator stage
+    10^7-row benchmark inputs in seconds."""
+    rng = np.random.default_rng(7919 + words_per_phrase)
+    toks = rng.integers(0, 9973, size=(_N_PHRASES, words_per_phrase))
+    return np.array([" ".join(f"tok{t}" for t in row) for row in toks])
+
+
+_VOCAB_CACHE: dict[int, np.ndarray] = {}
+
+
 def _content(repo_idx: np.ndarray, path_idx: np.ndarray, seq: np.ndarray,
              words: int) -> np.ndarray:
     """Deterministic pseudo-source-code content per (repo, path, seq)."""
+    wpp = max(words // 2, 1)
+    if wpp not in _VOCAB_CACHE:
+        _VOCAB_CACHE[wpp] = _phrase_vocab(wpp)
+    vocab = _VOCAB_CACHE[wpp]
     base = (repo_idx.astype(np.uint64) * np.uint64(1_000_003)
             + path_idx.astype(np.uint64) * np.uint64(10_007)
             + seq.astype(np.uint64))
-    toks = []
     with np.errstate(over="ignore"):
-        for w in range(words):
-            h = base * np.uint64(6364136223846793005) + np.uint64(w) * np.uint64(1442695040888963407)
-            toks.append(np.char.add("tok", (h % np.uint64(9973)).astype(str)))
-    out = toks[0]
-    for t in toks[1:]:
-        out = np.char.add(np.char.add(out, " "), t)
-    return np.char.add(
-        np.char.add("def fn_", seq.astype(str)),
-        np.char.add("(): # ", out),
-    )
+        h1 = (base * np.uint64(6364136223846793005)) >> np.uint64(16)
+        h2 = (base * np.uint64(3935559000370003845) + np.uint64(2691343689449507681)) >> np.uint64(16)
+    p1 = vocab[(h1 % np.uint64(_N_PHRASES)).astype(np.int64)]
+    p2 = vocab[(h2 % np.uint64(_N_PHRASES)).astype(np.int64)]
+    prefix = np.char.add(np.char.add("def fn_", seq.astype(str)), "(): # ")
+    return np.char.add(prefix, np.char.add(p1, np.char.add(" ", p2)))
 
 
 def generate_events(p: GenParams) -> pd.DataFrame:
@@ -116,7 +131,11 @@ def generate_events(p: GenParams) -> pd.DataFrame:
                 np.char.add("src/mod", (path_idx // 10).astype(str)),
                 np.char.add("/file", np.char.add(path_idx.astype(str), ".txt")),
             ),
-            "commit": [hashlib.sha1(f"c{s}".encode()).hexdigest()[:12] for s in seq],
+            "commit": np.char.mod(
+                "%012x",
+                ((seq.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(16))
+                & np.uint64(0xFFFFFFFFFFFF),
+            ),
             "lang": LANGS[repo_idx % len(LANGS)],
             "content": content_obj,
             "old_content": pd.array(old_content, dtype=object),

@@ -312,8 +312,14 @@ class LakeTable:
         )
 
         # bucket pruning: which buckets does this batch touch?
+        # src is persisted first — otherwise the whole upstream batch
+        # pipeline (scan/filter/LWW) would run twice, once for this
+        # collect and again for the merge join. The deduped batch is
+        # at most one row per key, so the cache is small.
+        src = src.persist()
         touched = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
         if not touched:
+            src.unpersist()
             return {"skipped": True, "reason": "empty batch"}
 
         tgt = self.read_raw(buckets=touched)
@@ -350,12 +356,15 @@ class LakeTable:
         new_version = m["version"] + 1
         snap_rel = os.path.join("data", f"snap-{new_version}")
         snap_dir = os.path.join(self.path, snap_rel)
-        (
-            result.withColumn(PART_COL, F.col(BUCKET_COL))
-            .repartition(min(len(touched), max(1, n_buckets)), F.col(PART_COL))
-            .write.partitionBy(PART_COL)
-            .parquet(snap_dir, mode="errorifexists")
-        )
+        try:
+            (
+                result.withColumn(PART_COL, F.col(BUCKET_COL))
+                .repartition(min(len(touched), max(1, n_buckets)), F.col(PART_COL))
+                .write.partitionBy(PART_COL)
+                .parquet(snap_dir, mode="errorifexists")
+            )
+        finally:
+            src.unpersist()
 
         # collect the new file list per touched bucket
         new_buckets: dict[str, list[str]] = dict(m["buckets"])

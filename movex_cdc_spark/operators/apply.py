@@ -29,7 +29,7 @@ from movex_cdc_spark.operators.filters import (
     split_poison,
     suppress_noop_updates,
 )
-from movex_cdc_spark.operators.lww import lww_dedup, lww_dedup_salted
+from movex_cdc_spark.operators.lww import lww_dedup, lww_dedup_maxby, lww_dedup_salted
 
 REPO_FILES_SCHEMA = T.StructType(
     [
@@ -50,16 +50,33 @@ def prepare_batch(
     condition_sql: str | None = None,
     salted: bool = False,
     use_pandas_sha: bool = False,
+    lww_mode: str = "maxby",
 ) -> tuple[DataFrame, DataFrame]:
     """Filters + LWW + sha256. Returns (ready_batch, poison_rows).
 
     All column work is JVM-side expressions except the optional
     pandas_udf sha path; either way content hashing is vectorized.
+
+    lww_mode:
+      maxby  (default) — map-side-combining aggregate; minimal shuffle,
+               skew-proof (see lww_dedup_maxby)
+      window — row_number window (reference-shaped, full shuffle)
+      salted is honored for window mode; maxby needs no salt (its
+      partial combine already bounds hot keys).
     """
     df = condition_filter(events, condition_sql or default_exclude_condition())
     df = suppress_noop_updates(df)
     valid, poison = split_poison(df)
-    dedup = lww_dedup_salted(valid, KEY_COLS) if salted else lww_dedup(valid, KEY_COLS)
+    # shuffle hygiene: only key/seq/op/payload cross the wire — the
+    # old-image and bookkeeping columns were only needed by the filters
+    keep = [c for c in valid.columns if c not in ("old_content", "ts", "txid", "is_noop")]
+    slim = valid.select(*keep)
+    if lww_mode == "maxby":
+        dedup = lww_dedup_maxby(slim, KEY_COLS)
+    elif salted:
+        dedup = lww_dedup_salted(slim, KEY_COLS)
+    else:
+        dedup = lww_dedup(slim, KEY_COLS)
     sha = content_sha256(F.col("content")) if use_pandas_sha else sha256_builtin("content")
     ready = dedup.withColumn("content_sha", F.when(F.col("content").isNotNull(), sha))
     return ready, poison
@@ -76,11 +93,13 @@ def apply_batch(
     metrics: "object | None" = None,
     evolve: bool = True,
     use_pandas_sha: bool = False,
+    lww_mode: str = "maxby",
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events with exactly-once fencing."""
     t0 = time.monotonic()
     ready, poison = prepare_batch(
-        events, condition_sql=condition_sql, salted=salted, use_pandas_sha=use_pandas_sha
+        events, condition_sql=condition_sql, salted=salted,
+        use_pandas_sha=use_pandas_sha, lww_mode=lww_mode,
     )
 
     if evolve:
@@ -110,12 +129,20 @@ def apply_batch(
         epoch_id=epoch_id,
     )
     lineage["merge_latency_s"] = round(time.monotonic() - t0, 4)
-    if lineage.get("skipped"):
+    if lineage.get("skipped") and lineage.get("reason") != "empty batch":
+        # fenced (already-applied epoch): exactly-once demands we do NOT
+        # re-append its poison rows either
         return lineage
 
     n_poison = 0
     if dead_letter is not None:
+        # runs even when the merge was empty — a batch can be ALL poison.
+        # (dead letters are at-least-once across crash replays, like the
+        # reference's final-errors path, transfer_thread.rb:468-491)
         n_poison = dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
+    if lineage.get("skipped"):
+        lineage["n_poison"] = n_poison
+        return lineage
     if metrics is not None:
         got = obs.get
         metrics.append(

@@ -31,6 +31,29 @@ def lww_dedup(df: DataFrame, key_cols: list[str], seq_col: str = "seq") -> DataF
     )
 
 
+def lww_dedup_maxby(df: DataFrame, key_cols: list[str], seq_col: str = "seq") -> DataFrame:
+    """LWW via ``max_by`` aggregation — the hot-path variant.
+
+    Unlike the window formulation (full batch through one shuffle,
+    hot key -> one task), ``max_by(struct(payload), seq)`` is a
+    declarative aggregate with a MAP-SIDE PARTIAL COMBINE: each input
+    task reduces to at most one row per key before anything shuffles.
+    Shuffle volume drops from O(|batch|) to O(|keys| x tasks), and a
+    hot key is combined locally in every task first — the two-phase
+    local-combine/global-merge of SURVEY A7 expressed so Catalyst
+    plans it (no manual salting needed). Equivalence with the window
+    form is property-tested in tests/test_lww.py."""
+    payload = [c for c in df.columns if c not in key_cols and c != seq_col]
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(
+            F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(seq_col)).alias("__w"),
+            F.max(seq_col).alias(seq_col),
+        )
+        .select(*key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload], seq_col)
+    )
+
+
 def lww_dedup_salted(
     df: DataFrame,
     key_cols: list[str],

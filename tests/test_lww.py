@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 
 from movex_cdc_spark.datagen import GenParams, generate_events
-from movex_cdc_spark.operators.lww import lww_dedup, lww_dedup_salted
+from movex_cdc_spark.operators.lww import lww_dedup, lww_dedup_maxby, lww_dedup_salted
 
 
 @pytest.fixture(scope="module")
@@ -48,6 +48,24 @@ def test_lww_salted_equals_plain(spark, events, salt):
         .toPandas()
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), _ground_truth(pdf))
+
+
+def test_lww_maxby_equals_window(spark, events):
+    """The hot-path max_by formulation (map-side partial combine) must
+    agree with the window formulation row-for-row — including payload
+    columns, not just the winning seq."""
+    sdf, pdf = events
+    got = (
+        lww_dedup_maxby(sdf, ["repo", "path"])
+        .select("repo", "path", "seq")
+        .orderBy("repo", "path")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), _ground_truth(pdf))
+    # payload agreement on a sample
+    w = lww_dedup(sdf, ["repo", "path"]).select("repo", "path", "commit", "content").orderBy("repo", "path")
+    m = lww_dedup_maxby(sdf, ["repo", "path"]).select("repo", "path", "commit", "content").orderBy("repo", "path")
+    pd.testing.assert_frame_equal(w.toPandas(), m.toPandas())
 
 
 def test_lww_unique_keys(spark, events):

@@ -1,0 +1,127 @@
+"""Retry re-admission (ST5/S11), snapshot bootstrap (S8), multimodal
+mapInPandas plumbing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from movex_cdc_spark.config.table_config import repo_files_config
+from movex_cdc_spark.lake.table import LakeTable
+from movex_cdc_spark.operators.apply import (
+    KEY_COLS,
+    REPO_FILES_SCHEMA,
+    DeadLetterTable,
+    apply_batch,
+)
+from movex_cdc_spark.operators.bootstrap import snapshot_to_init_events
+from movex_cdc_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from movex_cdc_spark.streaming.retry import RetryWorker
+
+COLS = ["seq", "repo", "path", "commit", "lang", "content", "old_content", "op"]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=COLS))
+
+
+def test_retry_readmission(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "lake"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4)
+    dl = DeadLetterTable(spark, str(tmp_path / "dl"))
+    # poison insert (null content) gets quarantined
+    apply_batch(
+        t,
+        _batch(spark, [(1, "r", "p", "c", "py", None, None, "I"),
+                       (2, "r", "q", "c", "py", "good", None, "I")]),
+        epoch_id=0,
+        dead_letter=dl,
+    )
+    assert t.read().count() == 1
+    assert dl.read().count() == 1
+
+    worker = RetryWorker(spark, t, dl, str(tmp_path / "final"), max_retries=2)
+    # first pass: still poison -> retry_count 1
+    r1 = worker.readmit(epoch_id=1)
+    assert r1["healed"] == 0 and r1["final_errors"] == 0
+    assert dl.read().collect()[0]["retry_count"] == 1
+    # backoff not yet elapsed -> not eligible
+    r2 = worker.readmit(epoch_id=2)
+    assert r2["eligible"] == 0
+
+    # heal the row in the dead-letter table, force eligibility
+    healed = dl.read().withColumn("content", F.lit("recovered")).withColumn(
+        "last_error_time", F.expr("last_error_time - make_interval(0,0,0,1,0,0,0)")
+    )
+    healed.write.mode("overwrite").parquet(str(tmp_path / "dl2"))
+    dl2 = DeadLetterTable(spark, str(tmp_path / "dl2"))
+    worker2 = RetryWorker(spark, t, dl2, str(tmp_path / "final"), max_retries=2)
+    r3 = worker2.readmit(epoch_id=3)
+    assert r3["healed"] == 1
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got["p"] == "recovered"
+    assert dl2.read().count() == 0
+
+
+def test_retry_exhaustion_to_final_errors(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "lake"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4)
+    dl = DeadLetterTable(spark, str(tmp_path / "dl"))
+    # old image non-null so the row is NOT a no-op update (null <=> null
+    # would be suppressed before quarantine, as the reference trigger
+    # simply would not fire)
+    apply_batch(t, _batch(spark, [(1, "r", "p", "c", "py", None, "prev", "U")]), epoch_id=0, dead_letter=dl)
+    worker = RetryWorker(spark, t, dl, str(tmp_path / "final"), max_retries=1, start_delay_s=0)
+    r = worker.readmit(epoch_id=1)
+    assert r["final_errors"] == 1
+    assert worker.final_errors().count() == 1
+    assert dl.read() is None or dl.read().count() == 0
+
+
+def test_snapshot_bootstrap(spark, tmp_path):
+    cfg = repo_files_config().tables["repo_files"]
+    cfg.initialization_filter = "lang = 'py'"
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            [("r", "a", "c0", "py", "x"), ("r", "b", "c0", "go", "y")],
+            columns=["repo", "path", "commit", "lang", "content"],
+        )
+    )
+    ev = snapshot_to_init_events(base, cfg, snapshot_seq=0)
+    rows = ev.collect()
+    assert len(rows) == 1 and rows[0]["op"] == "I" and rows[0]["seq"] == 0
+    # INIT events flow through the normal apply; later seqs still win
+    t = LakeTable.create(spark, str(tmp_path / "lake"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=2)
+    apply_batch(t, ev.withColumn("old_content", F.lit(None).cast("string")), epoch_id=0)
+    apply_batch(t, _batch(spark, [(5, "r", "a", "c1", "py", "x2", None, "U")]), epoch_id=1)
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got == {"a": "x2"}
+
+
+def test_multimodal_features(spark):
+    media = synthesize_media(spark, n=12)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic: same payload -> same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, fake=True).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+
+
+def test_multimodal_real_codec_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"bytes", "image", fake=False)
+
+
+def test_frame_sample_plan(spark):
+    media = synthesize_media(spark, n=12)
+    plan = frame_sample_plan(media, every_ms=500)
+    for r in plan.collect():
+        if r["duration_ms"] > 0:
+            assert r["frame_ts_ms"][0] == 0
+            assert all(t % 500 == 0 for t in r["frame_ts_ms"])
+        else:
+            assert r["frame_ts_ms"] == []
