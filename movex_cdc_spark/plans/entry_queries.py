@@ -900,3 +900,211 @@ def text_fingerprint(spark, sf_dir):
     from movex_cdc_spark.operators.textops import fingerprint
 
     return fingerprint(load(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Engine-in-the-loop + remaining §2 coverage
+# =====================================================================
+
+
+@register(
+    "cdc_engine_replay_final_state",
+    f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, {OP_CASE_SQL} AS op,
+             event_type || ':' || CAST(value AS VARCHAR) AS content
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM tagged)
+    SELECT CAST(user_id AS VARCHAR) AS repo, event_id AS last_seq,
+           content, sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_engine_replay_final_state(spark, sf_dir):
+    """THE ENGINE ITSELF under the oracle gate: the events table is
+    mapped to a change stream keyed by user_id, applied through the real
+    LakeTable bucketed MERGE in 3 epochs (out-of-order across epochs),
+    and the materialized final state is compared against the plain-SQL
+    LWW oracle — replay-to-final-state equivalence checked end to end,
+    not just expression parity."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.lake.table import LakeTable
+    from movex_cdc_spark.operators.lww import lww_dedup_maxby
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.col("event_id").alias("seq"),
+        F.expr(OP_CASE_SQL).alias("op"),
+        F.concat_ws(":", "event_type", F.col("value").cast("string")).alias("content"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("content_sha", T.StringType()),
+        ]
+    )
+    tdir = tempfile.mkdtemp(prefix="engine_replay_")
+    table = LakeTable.create(spark, f"{tdir}/t", schema, ["repo", "path"], n_buckets=8)
+    # 3 epochs split by seq mod — each epoch holds an arbitrary slice,
+    # so per-key order across epochs is NOT arrival order
+    for i in range(3):
+        chunk = ev.filter(F.pmod(F.col("seq"), F.lit(3)) == i)
+        batch = lww_dedup_maxby(chunk, ["repo", "path"]).withColumn(
+            "content_sha", F.sha2("content", 256)
+        )
+        table.merge(batch, seq_col="seq", op_col="op", epoch_id=i)
+    return table.read().select(
+        "repo", F.col("last_seq"), "content", "content_sha"
+    )
+
+
+@register(
+    "cdc_config_broadcast_enrichment",
+    """
+    WITH cfg(event_type, topic, log_enabled) AS (
+      VALUES ('signup', 'users', true), ('click', 'activity', true),
+             ('view', 'activity', true), ('purchase', 'orders', true),
+             ('error', 'dlq', false))
+    SELECT c.topic, count(*) AS n, min(e.event_id) AS min_seq, max(e.event_id) AS max_seq
+    FROM events e JOIN cfg c ON e.event_type = c.event_type
+    WHERE c.log_enabled GROUP BY c.topic
+    """,
+)
+def cdc_config_broadcast_enrichment(spark, sf_dir):
+    """Event -> config enrichment as a broadcast hash join (SURVEY J1;
+    the reference's per-event Table.find cache, transfer_thread.rb:566-587,
+    becomes a once-per-batch broadcast of the config dimension)."""
+    cfg = spark.createDataFrame(
+        [
+            ("signup", "users", True),
+            ("click", "activity", True),
+            ("view", "activity", True),
+            ("purchase", "orders", True),
+            ("error", "dlq", False),
+        ],
+        ["event_type", "topic", "log_enabled"],
+    )
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.join(F.broadcast(cfg), "event_type")
+        .filter(F.col("log_enabled"))
+        .groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_seq"),
+            F.max("event_id").alias("max_seq"),
+        )
+    )
+
+
+@register(
+    "cdc_json_payload_parse",
+    """
+    SELECT event_id, user_id,
+           CAST(props->>'k' AS BIGINT) AS prop_k
+    FROM events WHERE event_id < 1000
+    """,
+)
+def cdc_json_payload_parse(spark, sf_dir):
+    """JSON payload parse (SURVEY P6/§2.10: the trigger-serialized JSON
+    payload is parsed back to typed columns; engine path is from_json
+    in sources/events.py)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+@register(
+    "cdc_sessionization",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+                       > 3600 OR lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM d)
+    SELECT user_id, session_id, count(*) AS events_in_session,
+           min(event_id) AS first_seq, max(event_id) AS last_seq
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def cdc_sessionization(spark, sf_dir):
+    """Gap-based sessionization (lag + running sum window) — the
+    ordering-sensitive W-family composition over the event stream."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    d = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 3600),
+            1,
+        ).otherwise(0),
+    )
+    s = d.withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("events_in_session"),
+        F.min("event_id").alias("first_seq"),
+        F.max("event_id").alias("last_seq"),
+    )
+
+
+@register(
+    "q6_selective_filter_agg",
+    """
+    SELECT round(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)), 2)::DOUBLE AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q6_selective_filter_agg(spark, sf_dir):
+    """TPC-H Q6 shape: highly selective conjunctive predicate + global
+    agg — pure pushdown + codegen benchmark (zero shuffle rows beyond
+    partial agg results)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "2000-01-01")
+        & (F.col("l_shipdate") < "2001-01-01")
+        & (F.col("l_discount").between(0.02, 0.06))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "distinct_count_per_group",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_count_per_group(spark, sf_dir):
+    """Exact distinct aggregation (two-phase expand under the hood)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"), F.count(F.lit(1)).alias("events")
+    )

@@ -68,12 +68,97 @@ def read_events_batch(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """Streaming read of the event-log directory. maxFilesPerTrigger is
     the backpressure knob (reference ST7: max_sorted_id_distances /
     MAX_TRANSACTION_SIZE adaptive window — built-in here)."""
-    r = spark.readStream.schema(EVENTS_SCHEMA)
+    r = spark.readStream.schema(schema or EVENTS_SCHEMA)
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
     return r.parquet(path)
+
+
+# ---------------------------------------------------------------------
+# Payload-shaped event log: the reference's Event_Logs row is
+# (ID, Msg_Key, Payload CLOB JSON, Created_At, Transaction_ID) with the
+# changed row serialized as JSON by the trigger
+# (db/migrate/20200115071231_create_event_logs.rb:10-35,
+#  transfer_thread.rb:493-518). This shape carries the event-parse step
+# the north rule names: from_json over the payload, fully JVM-side.
+# ---------------------------------------------------------------------
+
+PAYLOAD_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("msg_key", T.StringType()),
+        T.StructField("payload", T.StringType()),  # JSON of new+old image
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("txid", T.LongType()),
+    ]
+)
+
+PAYLOAD_STRUCT = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("old_content", T.StringType()),
+    ]
+)
+
+
+def to_payload_events(df: DataFrame) -> DataFrame:
+    """Columnar events -> Event_Logs shape (JSON payload + msg key)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "seq",
+        "op",
+        F.to_json(F.struct("repo", "path")).alias("msg_key"),
+        F.to_json(F.struct("repo", "path", "commit", "lang", "content", "old_content")).alias(
+            "payload"
+        ),
+        "ts",
+        "txid",
+    )
+
+
+def parse_payload_events(df: DataFrame) -> DataFrame:
+    """Event parse (vectorized, whole-stage-codegen from_json): JSON
+    payload -> typed columns. Malformed payloads yield null struct
+    fields -> caught by the poison split downstream, mirroring the
+    reference's parse-validate-or-dead-letter flow."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "seq",
+        "op",
+        "ts",
+        "txid",
+        F.from_json(F.col("payload"), PAYLOAD_STRUCT).alias("__p"),
+    ).select("seq", "op", "ts", "txid", "__p.*")
+
+
+def stage_payload_events(spark: SparkSession, columnar_dir: str, out_dir: str,
+                         files_per_input: int = 1) -> None:
+    """One-time conversion of a staged columnar event dir to the
+    payload shape, preserving the per-file micro-batch boundaries."""
+    import os as _os
+
+    for f in sorted(_os.listdir(columnar_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        df = spark.read.schema(EVENTS_SCHEMA).parquet(_os.path.join(columnar_dir, f))
+        (
+            to_payload_events(df)
+            .coalesce(files_per_input)
+            .write.mode("append")
+            .parquet(out_dir)
+        )

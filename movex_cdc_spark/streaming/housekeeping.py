@@ -1,0 +1,83 @@
+"""Housekeeping jobs (SURVEY ST8/ST10).
+
+Reference: drop drained Event_Logs partitions (housekeeping.rb:45-107),
+final-errors retention after final_errors_keep_hours
+(housekeeping_final_errors.rb:26-66), and single-instance heartbeat
+fencing (heartbeat.rb:12-44).
+
+Spark analogs: lake-table snapshot expiry (LakeTable.expire_snapshots),
+age-based retention on the dead-letter/final-errors parquet dirs, and a
+heartbeat lockfile guarding one writer per checkpoint."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import socket
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def retain_recent(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "error_time",
+    keep_hours: int = 96,
+) -> int:
+    """Age out rows older than keep_hours from an append-only parquet
+    dir (final-errors retention). Rewrite-and-swap; returns rows kept."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return 0
+    kept = df.filter(
+        F.col(ts_col) >= F.current_timestamp() - F.expr(f"make_interval(0,0,0,0,{keep_hours},0,0)")
+    )
+    n = kept.count()
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    kept.write.mode("overwrite").parquet(tmp)
+    trash = path + ".old"
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    return n
+
+
+class Heartbeat:
+    """Single-writer fencing for a pipeline home directory (reference
+    heartbeat.rb: error if a FOREIGN heartbeat is younger than 2 min).
+
+    Not a distributed lock — the same scope as the reference: a guard
+    against accidentally starting two instances on one store. The hard
+    exactly-once guarantee still comes from the lake table's atomic
+    version commit, which rejects the loser of any true race."""
+
+    def __init__(self, home: str, instance: str | None = None, stale_s: int = 120):
+        self.path = os.path.join(home, "_heartbeat.json")
+        self.instance = instance or f"{socket.gethostname()}-{os.getpid()}"
+        self.stale_s = stale_s
+
+    def beat(self) -> None:
+        foreign = self.foreign_active()
+        if foreign:
+            raise RuntimeError(
+                f"another instance {foreign!r} heartbeated within {self.stale_s}s — refusing to run"
+            )
+        tmp = self.path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"instance": self.instance, "ts": time.time()}, f)
+        os.replace(tmp, self.path)
+
+    def foreign_active(self) -> str | None:
+        try:
+            with open(self.path) as f:
+                hb = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+        if hb.get("instance") != self.instance and time.time() - hb.get("ts", 0) < self.stale_s:
+            return hb.get("instance")
+        return None

@@ -22,7 +22,11 @@ from pyspark.sql import SparkSession
 
 from movex_cdc_spark.lake.table import LakeTable
 from movex_cdc_spark.operators.apply import DeadLetterTable, apply_batch
-from movex_cdc_spark.sources.events import read_events_stream
+from movex_cdc_spark.sources.events import (
+    PAYLOAD_EVENTS_SCHEMA,
+    parse_payload_events,
+    read_events_stream,
+)
 from movex_cdc_spark.streaming.lineage import MetricsTable
 
 
@@ -39,6 +43,7 @@ class CdcStreamPipeline:
         condition_sql: str | None = None,
         salted: bool = False,
         max_files_per_trigger: int | None = None,
+        payload_format: bool = False,
     ):
         self.spark = spark
         self.table = table
@@ -50,9 +55,14 @@ class CdcStreamPipeline:
         self.condition_sql = condition_sql
         self.salted = salted
         self.max_files_per_trigger = max_files_per_trigger
+        # payload_format: source rows are Event_Logs-shaped (msg_key +
+        # JSON payload); the event parse (from_json) runs first
+        self.payload_format = payload_format
         self.epochs: list[dict[str, Any]] = []  # this run's lineage records
 
     def _apply(self, batch_df, epoch_id: int) -> None:
+        if self.payload_format:
+            batch_df = parse_payload_events(batch_df)
         lin = apply_batch(
             self.table,
             batch_df,
@@ -67,7 +77,10 @@ class CdcStreamPipeline:
 
     def start(self, available_now: bool = True, processing_time: str | None = None):
         stream = read_events_stream(
-            self.spark, self.events_dir, self.max_files_per_trigger
+            self.spark,
+            self.events_dir,
+            self.max_files_per_trigger,
+            schema=PAYLOAD_EVENTS_SCHEMA if self.payload_format else None,
         )
         w = (
             stream.writeStream.foreachBatch(self._apply)

@@ -1,0 +1,63 @@
+"""Housekeeping retention, heartbeat fencing, envelope/CloudEvents."""
+
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from movex_cdc_spark.operators.apply import with_envelope
+from movex_cdc_spark.streaming.housekeeping import Heartbeat, retain_recent
+
+
+def test_retain_recent(spark, tmp_path):
+    path = str(tmp_path / "errs")
+    df = spark.range(10).select(
+        F.col("id"),
+        F.when(F.col("id") < 7, F.current_timestamp())
+        .otherwise(F.expr("current_timestamp() - make_interval(0,0,0,20,0,0,0)"))
+        .alias("error_time"),
+    )
+    df.write.parquet(path)
+    kept = retain_recent(spark, path, keep_hours=96)
+    assert kept == 7
+    assert spark.read.parquet(path).count() == 7
+
+
+def test_heartbeat_fencing(tmp_path):
+    home = str(tmp_path)
+    a = Heartbeat(home, instance="a", stale_s=60)
+    b = Heartbeat(home, instance="b", stale_s=60)
+    a.beat()
+    a.beat()  # own heartbeat never fences itself
+    with pytest.raises(RuntimeError, match="another instance"):
+        b.beat()
+    # stale foreign heartbeat is ignored
+    c = Heartbeat(home, instance="c", stale_s=0)
+    time.sleep(0.01)
+    c.beat()
+
+
+def test_envelope_and_cloudevents(spark):
+    cols = ["seq", "repo", "path", "commit", "lang", "content", "old_content", "op", "ts", "txid"]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (7, "r", "p", "c1", "py", "body", "old", "U",
+                 pd.Timestamp("2026-01-01 00:00:01"), 3),
+                (8, "r", "q", "c2", "py", "new", None, "I",
+                 pd.Timestamp("2026-01-01 00:00:02"), 3),
+            ],
+            columns=cols,
+        )
+    )
+    out = {r["id"]: r for r in with_envelope(df, cloudevents=True).collect()}
+    u = out[7]
+    assert u["operation"] == "UPDATE"
+    assert u["msg_key"] == '{"repo":"r","path":"p"}'
+    assert '"content":"body"' in u["new_payload"]
+    assert '"content":"old"' in u["old_payload"]
+    assert u["ce_id"] == "repo_files-7"
+    assert u["ce_type"] == "cdc.update"
+    assert u["timestamp"].startswith("2026-01-01T00:00:01.000")
+    assert out[8]["operation"] == "INSERT"
