@@ -136,6 +136,20 @@ def _stage_cdc_input(workdir: str, n_events: int) -> tuple[str, "object"]:
         if active is None:
             s.stop()
         os.rename(tmp, stage)
+    elif not os.path.isdir(os.path.join(stage, "events_json")):
+        # stage dir from an older layout: backfill the payload shape
+        from pyspark.sql import SparkSession
+
+        from movex_cdc_spark.sources.events import stage_payload_events
+
+        active = SparkSession.getActiveSession()
+        s = active or make_spark(8)
+        tmp_json = os.path.join(stage, "events_json.tmp")
+        shutil.rmtree(tmp_json, ignore_errors=True)
+        stage_payload_events(s, os.path.join(stage, "events"), tmp_json)
+        if active is None:
+            s.stop()
+        os.rename(tmp_json, os.path.join(stage, "events_json"))
     return stage, p
 
 
