@@ -83,7 +83,7 @@ def prepare_batch(
         dedup = lww_dedup(slim, KEY_COLS)
     sha = content_sha256(F.col("content")) if use_pandas_sha else sha256_builtin("content")
     ready = dedup.withColumn("content_sha", F.when(F.col("content").isNotNull(), sha))
-    return ready, poison, df
+    return ready, poison
 
 
 def apply_batch(
@@ -101,17 +101,13 @@ def apply_batch(
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events with exactly-once fencing."""
     t0 = time.monotonic()
-    ready, poison, cached = prepare_batch(
+    ready, poison = prepare_batch(
         events, condition_sql=condition_sql, salted=salted,
         use_pandas_sha=use_pandas_sha, lww_mode=lww_mode,
     )
-
-    try:
-        return _apply_prepared(
-            table, ready, poison, epoch_id, stream_id, dead_letter, metrics, evolve, obs_t0=t0
-        )
-    finally:
-        cached.unpersist()
+    return _apply_prepared(
+        table, ready, poison, epoch_id, stream_id, dead_letter, metrics, evolve, obs_t0=t0
+    )
 
 
 def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metrics,
@@ -136,6 +132,17 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
     )
 
+    n_poison = 0
+    if dead_letter is not None:
+        # Append poison rows BEFORE the merge commit: a crash between the
+        # two can only replay the append, never lose it — dead letters are
+        # at-least-once across crash replays (duplicates are tolerated, and
+        # healed rows re-applied via RetryWorker are idempotent under the
+        # merge's seq fence), like the reference's final-errors path
+        # (transfer_thread.rb:468-491). Runs even when the merge will be
+        # empty — a batch can be ALL poison.
+        n_poison = dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
+
     lineage = table.merge(
         ready,
         seq_col="seq",
@@ -144,19 +151,8 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
         epoch_id=epoch_id,
     )
     lineage["merge_latency_s"] = round(time.monotonic() - t0, 4)
-    if lineage.get("skipped") and lineage.get("reason") != "empty batch":
-        # fenced (already-applied epoch): exactly-once demands we do NOT
-        # re-append its poison rows either
-        return lineage
-
-    n_poison = 0
-    if dead_letter is not None:
-        # runs even when the merge was empty — a batch can be ALL poison.
-        # (dead letters are at-least-once across crash replays, like the
-        # reference's final-errors path, transfer_thread.rb:468-491)
-        n_poison = dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
+    lineage["n_poison"] = n_poison
     if lineage.get("skipped"):
-        lineage["n_poison"] = n_poison
         return lineage
     if metrics is not None:
         got = obs.get

@@ -33,7 +33,22 @@ def register(name: str, oracle: str | None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # Pin the session timezone so timestamp_ntz -> timestamp casts are an
+    # exact reinterpretation regardless of the host's zone; epoch_us()
+    # parity with DuckDB depends on it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def epoch_us(col) -> "F.Column":
+    """Integer microseconds since epoch for a (possibly ntz) timestamp
+    column — bit-exact with DuckDB ``epoch_us(ts)`` on naive timestamps
+    (load() pins the session tz to UTC so the ntz->ltz cast is a pure
+    reinterpretation). Integer math: no float rounding at comparison
+    boundaries, unlike unix_timestamp (second-truncating) or epoch()
+    (fractional double)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 # CDC op derivation shared by the event-log queries
@@ -230,11 +245,11 @@ def cdc_minmax_health(spark, sf_dir):
     """
     WITH sim AS (
       SELECT event_id, user_id, ts, (event_id % 6) AS retry_count FROM events),
-    bound AS (SELECT max(epoch(ts)) AS now_s FROM events)
+    bound AS (SELECT max(epoch_us(ts)) AS now_us FROM events)
     SELECT event_id, user_id, retry_count
     FROM sim, bound
     WHERE retry_count = 0
-       OR epoch(ts) + 20 * power(3, retry_count - 1) < now_s
+       OR epoch_us(ts) + 20000000 * power(3, retry_count - 1) < now_us
     """,
 )
 def cdc_retry_backoff_eligible(spark, sf_dir):
@@ -244,11 +259,19 @@ def cdc_retry_backoff_eligible(spark, sf_dir):
     ev = load(spark, sf_dir, "events").withColumn(
         "retry_count", F.col("event_id") % 6
     )
-    now_s = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
-    return ev.filter(
-        (F.col("retry_count") == 0)
-        | (F.unix_timestamp("ts") + 20 * F.pow(F.lit(3), F.col("retry_count") - 1) < F.lit(now_s))
-    ).select("event_id", "user_id", "retry_count")
+    # global scalar via broadcast cross-join — stays lazy, no driver
+    # round-trip mid-plan; integer-microsecond epoch matches DuckDB
+    # epoch_us() exactly (no truncation/rounding at the boundary)
+    bound = ev.agg(F.max(epoch_us("ts")).alias("now_us"))
+    return (
+        ev.crossJoin(F.broadcast(bound))
+        .filter(
+            (F.col("retry_count") == 0)
+            | (epoch_us("ts") + 20000000 * F.pow(F.lit(3), F.col("retry_count") - 1)
+               < F.col("now_us"))
+        )
+        .select("event_id", "user_id", "retry_count")
+    )
 
 
 # -------------------------------------------------- S4: keyed worker slice
@@ -1030,8 +1053,8 @@ def cdc_json_payload_parse(spark, sf_dir):
     """
     WITH d AS (
       SELECT user_id, event_id, ts,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY event_id))
-                       > 3600 OR lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+                       > 3600000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     s AS (
@@ -1053,7 +1076,10 @@ def cdc_sessionization(spark, sf_dir):
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 3600),
+            # integer-microsecond epoch keeps sub-second precision — matches
+            # DuckDB epoch_us(); unix_timestamp truncates to whole seconds and
+            # mis-sessionizes gaps straddling the 3600 s boundary by <1 s.
+            | (epoch_us("ts") - F.lag(epoch_us("ts")).over(w) > 3600 * 1_000_000),
             1,
         ).otherwise(0),
     )

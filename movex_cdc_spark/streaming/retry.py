@@ -68,9 +68,12 @@ class RetryWorker:
         if n_healed:
             apply_batch(self.table, healed, epoch_id=epoch_id, stream_id=stream_id)
 
-        exhausted = still_bad.filter(F.col("retry_count") + 1 >= self.max_retries)
+        # post-increment comparison: a row gets max_retries retry passes before
+        # finalizing, matching the reference (transfer_thread.rb:476 retries
+        # while retry_count < error_max_retries).
+        exhausted = still_bad.filter(F.col("retry_count") + 1 > self.max_retries)
         retrying = (
-            still_bad.filter(F.col("retry_count") + 1 < self.max_retries)
+            still_bad.filter(F.col("retry_count") + 1 <= self.max_retries)
             .withColumn("retry_count", F.col("retry_count") + 1)
             .withColumn("last_error_time", F.current_timestamp())
         )

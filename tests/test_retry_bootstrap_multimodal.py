@@ -74,8 +74,14 @@ def test_retry_exhaustion_to_final_errors(spark, tmp_path):
     # simply would not fire)
     apply_batch(t, _batch(spark, [(1, "r", "p", "c", "py", None, "prev", "U")]), epoch_id=0, dead_letter=dl)
     worker = RetryWorker(spark, t, dl, str(tmp_path / "final"), max_retries=1, start_delay_s=0)
-    r = worker.readmit(epoch_id=1)
-    assert r["final_errors"] == 1
+    # reference semantics (transfer_thread.rb:476): retry while
+    # retry_count < max_retries — so max_retries=1 grants ONE retry pass
+    # before the row moves to final errors on the next pass.
+    r1 = worker.readmit(epoch_id=1)
+    assert r1["final_errors"] == 0
+    assert dl.read().collect()[0]["retry_count"] == 1
+    r2 = worker.readmit(epoch_id=2)
+    assert r2["final_errors"] == 1
     assert worker.final_errors().count() == 1
     assert dl.read() is None or dl.read().count() == 0
 
