@@ -26,6 +26,7 @@ from movex_cdc_spark.lake.table import LakeTable
 from movex_cdc_spark.operators.filters import (
     condition_filter,
     default_exclude_condition,
+    per_op_condition_filter,
     split_poison,
     suppress_noop_updates,
 )
@@ -45,17 +46,55 @@ REPO_FILES_SCHEMA = T.StructType(
 KEY_COLS = ["repo", "path"]
 
 
+def _filter_validate_project(
+    events: DataFrame,
+    condition_sql: str | None,
+    table_cfg: "object | None",
+) -> tuple[DataFrame, DataFrame]:
+    """Shared capture-side chain: condition filter → no-op suppression →
+    poison split → (config projection + expressions). Validation and
+    no-op checks see the ORIGINAL row, as the reference trigger does;
+    projection shapes only the captured payload."""
+    if table_cfg is not None:
+        df = per_op_condition_filter(events, table_cfg.conditions)
+    else:
+        df = condition_filter(events, condition_sql or default_exclude_condition())
+    df = suppress_noop_updates(df)
+    # NOTE: deliberately NOT persisted. The poison chain re-scans the
+    # batch, but with column pruning that second scan is cheaper than
+    # caching a multi-GB batch in executor memory (measured: caching
+    # 16M rows cost more in GC/memory pressure than the rescan saved).
+    valid, poison = split_poison(df)
+    if table_cfg is not None:
+        # P1/P2 projection + column_expressions (may reference ts/txid/
+        # old_content, so this runs before any slim select)
+        valid = table_cfg.apply_projection(valid)
+    return valid, poison
+
+
 def prepare_batch(
     events: DataFrame,
     condition_sql: str | None = None,
     salted: bool = False,
     use_pandas_sha: bool = False,
     lww_mode: str = "maxby",
+    table_cfg: "object | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Filters + LWW + sha256. Returns (ready_batch, poison_rows).
+    """Filters + config projection + LWW + sha256.
+    Returns (ready_batch, poison_rows).
 
     All column work is JVM-side expressions except the optional
     pandas_udf sha path; either way content hashing is vectorized.
+
+    table_cfg (config.table_config.TableCfg): when given, the batch is
+    compiled exactly like the reference compiles its capture triggers
+    (db_trigger_generator_oracle.rb:98-238):
+      * per-op trigger conditions (P3) replace ``condition_sql``
+      * per-op column flags null un-logged payload columns (P1/P2)
+      * column_expressions add computed payload columns (§2.10)
+    Projection runs AFTER validation/no-op checks (those see the
+    original row, as the trigger does) and BEFORE LWW, so the winning
+    row per key carries the configured payload shape.
 
     lww_mode:
       maxby  (default) — map-side-combining aggregate; minimal shuffle,
@@ -64,13 +103,7 @@ def prepare_batch(
       salted is honored for window mode; maxby needs no salt (its
       partial combine already bounds hot keys).
     """
-    df = condition_filter(events, condition_sql or default_exclude_condition())
-    df = suppress_noop_updates(df)
-    # NOTE: deliberately NOT persisted. The poison chain re-scans the
-    # batch, but with column pruning that second scan is cheaper than
-    # caching a multi-GB batch in executor memory (measured: caching
-    # 16M rows cost more in GC/memory pressure than the rescan saved).
-    valid, poison = split_poison(df)
+    valid, poison = _filter_validate_project(events, condition_sql, table_cfg)
     # shuffle hygiene: only key/seq/op/payload cross the wire — the
     # old-image and bookkeeping columns were only needed by the filters
     keep = [c for c in valid.columns if c not in ("old_content", "ts", "txid", "is_noop")]
@@ -98,12 +131,18 @@ def apply_batch(
     evolve: bool = True,
     use_pandas_sha: bool = False,
     lww_mode: str = "maxby",
+    table_cfg: "object | None" = None,
 ) -> dict[str, Any]:
-    """Apply one micro-batch of change events with exactly-once fencing."""
+    """Apply one micro-batch of change events with exactly-once fencing.
+
+    ``table_cfg`` compiles capture config (conditions / projection /
+    expressions) into the batch plan — see prepare_batch. A config that
+    adds expression columns triggers schema evolution on the lake table
+    before the merge (ALTER-before-MERGE)."""
     t0 = time.monotonic()
     ready, poison = prepare_batch(
         events, condition_sql=condition_sql, salted=salted,
-        use_pandas_sha=use_pandas_sha, lww_mode=lww_mode,
+        use_pandas_sha=use_pandas_sha, lww_mode=lww_mode, table_cfg=table_cfg,
     )
     return _apply_prepared(
         table, ready, poison, epoch_id, stream_id, dead_letter, metrics, evolve, obs_t0=t0
@@ -172,6 +211,37 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
             }
         )
         lineage["metrics"] = got
+    return lineage
+
+
+def apply_batch_unkeyed(
+    log,
+    events: DataFrame,
+    epoch_id: int | None = None,
+    stream_id: str = "default",
+    condition_sql: str | None = None,
+    table_cfg: "object | None" = None,
+    dead_letter: "DeadLetterTable | None" = None,
+) -> dict[str, Any]:
+    """S5 unkeyed path (key_handling='N'): validated, projected events
+    are APPENDED in arrival order — no LWW collapse, no merge — exactly
+    the reference's keyless produce with relaxed ordering
+    (transfer_thread.rb:331-347). ``log`` is a lake.append_log.
+    UnkeyedEventLog; the epoch fence lives in its atomic commit."""
+    t0 = time.monotonic()
+    valid, poison = _filter_validate_project(events, condition_sql, table_cfg)
+    keep = [c for c in valid.columns if c not in ("old_content", "is_noop")]
+    valid = valid.select(*keep)
+    if table_cfg is not None:
+        # msg_key column materialized for the envelope/sink contract;
+        # NULL for mode 'N' (consumers must not assume per-key order)
+        valid = valid.withColumn("msg_key", table_cfg.key_column())
+    n_poison = 0
+    if dead_letter is not None:
+        n_poison = dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
+    lineage = log.append(valid, stream_id=stream_id, epoch_id=epoch_id)
+    lineage["n_poison"] = n_poison
+    lineage["merge_latency_s"] = round(time.monotonic() - t0, 4)
     return lineage
 
 

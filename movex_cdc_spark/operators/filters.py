@@ -31,6 +31,23 @@ def condition_filter(df: DataFrame, condition_sql: str | None) -> DataFrame:
     return df.filter(F.expr(condition_sql))
 
 
+def per_op_condition_filter(
+    df: DataFrame, conditions: dict[str, str] | None, op_col: str = "op"
+) -> DataFrame:
+    """Per-(table, op) trigger conditions (P3): a row survives iff the
+    condition configured for ITS op holds; ops with no configured
+    condition always pass (reference compiles one WHEN clause per
+    operation into the trigger, db_trigger_generator_oracle.rb:774-777).
+    Compiled to a single conjunctive predicate so Catalyst can push it
+    into the scan."""
+    if not conditions:
+        return df
+    keep = F.lit(True)
+    for op, sql in conditions.items():
+        keep = keep & F.when(F.col(op_col) == op, F.expr(sql)).otherwise(F.lit(True))
+    return df.filter(keep)
+
+
 def default_exclude_condition() -> str:
     """The fixture condition: drop rows whose content carries the
     exclusion marker (analog of `:new.Name != 'EXCLUDE FILTER'`)."""

@@ -990,6 +990,138 @@ def cdc_engine_replay_final_state(spark, sf_dir):
 
 
 @register(
+    "cdc_config_projection_expressions",
+    f"""
+    WITH tagged AS (
+      SELECT *, {OP_CASE_SQL} AS op FROM events),
+    filt AS (
+      SELECT * FROM tagged WHERE (op <> 'U') OR value >= 0.3)
+    SELECT event_id, user_id, op,
+           CASE WHEN op IN ('I','U') THEN event_type END AS event_type,
+           CASE WHEN op IN ('I','U') THEN value END AS value,
+           CASE WHEN op = 'I' THEN props END AS props,
+           CASE WHEN op IN ('I','U')
+                THEN event_type || '#' || CAST(user_id AS VARCHAR) END AS etype_key
+    FROM filt
+    """,
+)
+def cdc_config_projection_expressions(spark, sf_dir):
+    """Config-compiled capture (P1/P2/P3/§2.10) through the REAL
+    operators: TableCfg per-op conditions + per-op column projection +
+    column_expressions (reference trigger compilation,
+    db_trigger_generator_oracle.rb:98-238,620-676). The oracle mirrors
+    what the config compiles to: U rows gated on value >= 0.3, columns
+    nulled per op flags, computed key expression added for I/U."""
+    from movex_cdc_spark.config.table_config import ColumnCfg, ExpressionCfg, TableCfg
+    from movex_cdc_spark.operators.filters import per_op_condition_filter
+
+    cfg = TableCfg(
+        name="events",
+        key_cols=["user_id"],
+        columns=[
+            ColumnCfg("event_type", log_delete=False),
+            ColumnCfg("value", log_delete=False),
+            ColumnCfg("props", log_update=False, log_delete=False),
+        ],
+        conditions={"U": "value >= 0.3"},
+        expressions=[
+            ExpressionCfg(
+                alias="etype_key",
+                sql="concat(event_type, '#', cast(user_id as string))",
+                operations=("I", "U"),
+            )
+        ],
+    )
+    ev = _with_op(load(spark, sf_dir, "events"))
+    out = per_op_condition_filter(ev, cfg.conditions)
+    out = cfg.apply_projection(out)
+    return out.select(
+        "event_id", "user_id", "op", "event_type", "value", "props", "etype_key"
+    )
+
+
+@register(
+    "cdc_schema_evolution",
+    f"""
+    WITH tagged AS (
+      SELECT CAST(user_id AS VARCHAR) AS repo, event_id, {OP_CASE_SQL} AS op,
+             event_type || ':' || CAST(value AS VARCHAR) AS content,
+             CAST(floor(value * 100) AS BIGINT) AS rev,
+             CASE WHEN event_id % 2 = 1 THEN event_type END AS etype
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo ORDER BY event_id DESC) AS rn
+      FROM tagged)
+    SELECT repo, event_id AS last_seq, content, rev, etype
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_schema_evolution(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP schema evolution — the north rule's named hard
+    part and the reference's trigger regeneration on config change
+    (import_export_config.rb:86-120, db_trigger_generator_oracle.rb:410-422):
+    epoch 0 merges OLD-shape batches (rev INT, no etype); the schema then
+    evolves (add etype column + int→long widen = ALTER before MERGE,
+    metadata-only); epoch 1 merges NEW-shape batches. Old files are read
+    with the new schema (missing column → null, narrow ints widened);
+    the final state must equal the plain-SQL LWW oracle over BOTH shapes
+    interleaved — epochs split by seq parity, so per-key order across
+    epochs is NOT arrival order."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.lake.table import LakeTable
+    from movex_cdc_spark.operators.lww import lww_dedup_maxby
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.col("event_id").alias("seq"),
+        F.expr(OP_CASE_SQL).alias("op"),
+        F.concat_ws(":", "event_type", F.col("value").cast("string")).alias("content"),
+        F.col("value"),
+        F.col("event_type"),
+    )
+    schema_v1 = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("rev", T.IntegerType()),
+        ]
+    )
+    tdir = tempfile.mkdtemp(prefix="schema_evo_")
+    table = LakeTable.create(spark, f"{tdir}/t", schema_v1, ["repo", "path"], n_buckets=8)
+
+    # epoch 0: OLD shape (rev is INT, no etype)
+    b0 = lww_dedup_maxby(
+        ev.filter(F.pmod(F.col("seq"), F.lit(2)) == 0), ["repo", "path"]
+    ).select(
+        "repo", "path", "content",
+        F.floor(F.col("value") * 100).cast("int").alias("rev"),
+        "seq", "op",
+    )
+    table.merge(b0, seq_col="seq", op_col="op", epoch_id=0)
+
+    # config change: NEW shape (rev widened to LONG, etype added)
+    b1 = lww_dedup_maxby(
+        ev.filter(F.pmod(F.col("seq"), F.lit(2)) == 1), ["repo", "path"]
+    ).select(
+        "repo", "path", "content",
+        F.floor(F.col("value") * 100).alias("rev"),  # long
+        F.col("event_type").alias("etype"),
+        "seq", "op",
+    )
+    table.evolve_schema(
+        T.StructType([f for f in b1.schema.fields if f.name not in ("seq", "op")])
+    )
+    table.merge(b1, seq_col="seq", op_col="op", epoch_id=1)
+
+    return table.read().select("repo", F.col("last_seq"), "content", "rev", "etype")
+
+
+@register(
     "cdc_config_broadcast_enrichment",
     """
     WITH cfg(event_type, topic, log_enabled) AS (

@@ -21,7 +21,11 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from movex_cdc_spark.lake.table import LakeTable
-from movex_cdc_spark.operators.apply import DeadLetterTable, apply_batch
+from movex_cdc_spark.operators.apply import (
+    DeadLetterTable,
+    apply_batch,
+    apply_batch_unkeyed,
+)
 from movex_cdc_spark.sources.events import (
     PAYLOAD_EVENTS_SCHEMA,
     parse_payload_events,
@@ -44,6 +48,9 @@ class CdcStreamPipeline:
         salted: bool = False,
         max_files_per_trigger: int | None = None,
         payload_format: bool = False,
+        config: "object | None" = None,
+        table_name: str | None = None,
+        unkeyed_log: "object | None" = None,
     ):
         self.spark = spark
         self.table = table
@@ -58,21 +65,58 @@ class CdcStreamPipeline:
         # payload_format: source rows are Event_Logs-shaped (msg_key +
         # JSON payload); the event parse (from_json) runs first
         self.payload_format = payload_format
+        # config-driven capture (reference: triggers compiled from table
+        # config, db_trigger_generator_oracle.rb:98-238). `config` is a
+        # config.table_config.EngineConfig; it is re-read EVERY batch, so
+        # swapping it between micro-batches (set_config) changes the
+        # captured columns/conditions/expressions mid-stream — the
+        # reference's trigger-regeneration-on-config-change story, with
+        # lake-table schema evolution as the ALTER-before-MERGE step.
+        self.config = config
+        self.table_name = table_name
+        # sink for key_handling='N' tables (S5): append-only, no merge
+        self.unkeyed_log = unkeyed_log
         self.epochs: list[dict[str, Any]] = []  # this run's lineage records
+
+    def set_config(self, config) -> None:
+        """Swap capture config between micro-batches (S12 import →
+        live reconfiguration)."""
+        self.config = config
+
+    def _table_cfg(self):
+        if self.config is None:
+            return None
+        name = self.table_name or next(iter(self.config.tables))
+        return self.config.tables[name]
 
     def _apply(self, batch_df, epoch_id: int) -> None:
         if self.payload_format:
             batch_df = parse_payload_events(batch_df)
-        lin = apply_batch(
-            self.table,
-            batch_df,
-            epoch_id=epoch_id,
-            stream_id=self.stream_id,
-            condition_sql=self.condition_sql,
-            salted=self.salted,
-            dead_letter=self.dead_letter,
-            metrics=self.metrics,
-        )
+        cfg = self._table_cfg()
+        if cfg is not None and cfg.key_handling == "N":
+            if self.unkeyed_log is None:
+                raise ValueError("key_handling='N' requires an unkeyed_log sink")
+            lin = apply_batch_unkeyed(
+                self.unkeyed_log,
+                batch_df,
+                epoch_id=epoch_id,
+                stream_id=self.stream_id,
+                condition_sql=self.condition_sql,
+                table_cfg=cfg,
+                dead_letter=self.dead_letter,
+            )
+        else:
+            lin = apply_batch(
+                self.table,
+                batch_df,
+                epoch_id=epoch_id,
+                stream_id=self.stream_id,
+                condition_sql=self.condition_sql,
+                salted=self.salted,
+                dead_letter=self.dead_letter,
+                metrics=self.metrics,
+                table_cfg=cfg,
+            )
         self.epochs.append(lin)
 
     def start(self, available_now: bool = True, processing_time: str | None = None):
