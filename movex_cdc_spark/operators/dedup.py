@@ -58,17 +58,42 @@ def exact_dup_groups(df: DataFrame, text_col: str = TEXT_COL, id_col: str = ID_C
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, n: int = 3, threshold: float = 0.5, id_col: str = ID_COL
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = ID_COL,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Candidate pairs by shared n-gram shingles with Jaccard >= t.
 
-    shuffle profile: explode -> join on shingle (blocking) -> pair agg.
-    Docs sharing zero shingles never meet, so cost scales with true
-    overlap, not with |docs|²."""
+    shuffle profile: explode -> shingle-DF filter -> join on shingle
+    (blocking) -> pair agg. Docs sharing zero shingles never meet, so
+    cost scales with true overlap, not with |docs|².
+
+    max_shingle_df is the 100-TB guard: a shingle appearing in d docs
+    produces O(d²) candidate pairs in its block, so ONE boilerplate
+    shingle (a license header, a template line) at d=10^6 would emit
+    10^12 pairs. Shingles with document frequency > max_shingle_df are
+    dropped from the similarity universe BEFORE the self-join — one
+    extra narrow groupBy(shingle).count() — bounding any block at
+    max_shingle_df² pairs. Jaccard is then exact over the capped
+    universe: doc sizes count only surviving shingles, so dropped
+    shingles leave both numerator and denominator. (df=1 shingles are
+    additionally skipped in the join — they cannot form a pair — but
+    still count toward sizes.)"""
     sh = with_shingles(df, n).select(id_col, "shingles")
-    sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
     ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
+    if max_shingle_df is not None:
+        dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ok = dfreq.filter(F.col("df") <= max_shingle_df)
+        ex = ex.join(ok, "shingle")
+        sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        joinable = ex.filter(F.col("df") >= 2).drop("df")
+        ex = ex.drop("df")
+    else:
+        sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
+        joinable = ex
+    a, b = joinable.alias("a"), joinable.alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -132,6 +157,78 @@ def minhash_lsh_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = TEXT_COL, id_col: str = ID_COL) -> DataFrame:
+    """64-bit SimHash: bit i (1..64) is the sign of the sum over distinct
+    tokens of ±1 according to the high bit of hex digit i of
+    sha256(token). One sha256 per token (materialized once), then 64
+    sign-aggregations over the cached hex strings — all codegen array
+    expressions, no shuffle. 64 bits is the production width: at 10^10
+    docs a 16-bit fingerprint has ~150k docs per value (useless), while
+    64-bit collisions are genuine near-dups."""
+    toks = df.withColumn("toks", F.array_distinct(F.split(F.col(text_col), " ")))
+    shas = toks.withColumn("shas", F.expr("transform(toks, t -> sha2(t, 256))"))
+    return shas.withColumn(
+        "simhash",
+        F.expr(
+            "concat_ws('', transform(sequence(1, 64), i -> "
+            "  case when aggregate(shas, 0, (acc, h) -> acc + "
+            "    (case when substring(h, i, 1) in ('8','9','a','b','c','d','e','f')"
+            "          then 1 else -1 end)) >= 0 then '1' else '0' end))"
+        ),
+    ).select(id_col, "simhash")
+
+
+def simhash64_banded_pairs(
+    df: DataFrame,
+    n_bands: int = 4,
+    id_col: str = ID_COL,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by banded 64-bit SimHash: split the
+    fingerprint into n_bands contiguous bit-bands; a pair is a candidate
+    iff it collides in >= 1 band (i.e. Hamming distance 0 within that
+    band — the Hamming-ball banding trick: d bit flips can break at most
+    d bands, so any pair with Hamming distance < n_bands is guaranteed
+    to collide somewhere). Returns (id_a, id_b, n_bands_equal) — the
+    collision count is a similarity strength score.
+
+    Shuffle profile: the band-bucket equi-join is the only shuffle —
+    bucketed, never all-pairs. For larger corpora raise bits-per-band
+    (fewer bands) and/or set max_bucket_size: buckets holding more docs
+    than the cap are boilerplate clusters (identical fingerprint bands
+    across unrelated docs) and are dropped before the self-join, exactly
+    like the shingle-DF cap in ngram_jaccard_pairs."""
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    sh = simhash64(df, id_col=id_col)
+    bands = sh.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" b -> struct(b as band_idx,"
+                f" substring(simhash, b * {width} + 1, {width}) as band_val))"
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_val")
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("bn"))
+        bands = bands.join(
+            sizes.filter(F.col("bn") <= max_bucket_size), ["band_idx", "band_val"]
+        ).drop("bn")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_equal"))
     )
 
 

@@ -80,7 +80,10 @@ def decode_stub(payload: bytes, kind: str, fake: bool) -> np.ndarray:
             "media codecs are not available in this environment; "
             "pass fake=True for the deterministic stand-in"
         )
-    h = hashlib.sha256(payload).digest()
+    # hash the lowercase-hex form of the bytes (not the raw bytes) so a
+    # pure-SQL oracle can reproduce the feature: sha256 over VARCHAR is
+    # all DuckDB offers, and hex(payload) is that varchar
+    h = hashlib.sha256(payload.hex().encode()).digest()
     return (np.frombuffer(h[:32], dtype=np.uint8).reshape(8, 4).sum(axis=1) / 255.0).astype(
         np.float32
     )

@@ -690,10 +690,14 @@ def dedup_exact_sha(spark, sf_dir):
     f"""
     WITH {_SHINGLES_CTE},
     ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+    exf AS (SELECT e.doc_id, e.shingle, d.df
+            FROM ex e JOIN dfreq d USING (shingle) WHERE d.df <= 5),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM exf GROUP BY 1),
+    joinable AS (SELECT doc_id, shingle FROM exf WHERE df >= 2),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM joinable a JOIN joinable b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b, round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
     FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
@@ -702,10 +706,16 @@ def dedup_exact_sha(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup candidate pairs by 3-gram shingle Jaccard (blocking on
-    shared shingles — no O(n²) cross join)."""
+    shared shingles — no O(n²) cross join) with the hot-shingle
+    document-frequency cap: shingles in more than max_shingle_df docs
+    are dropped before the self-join, bounding any block's pair count
+    (the 100-TB boilerplate-shingle guard). Jaccard is exact over the
+    capped shingle universe in BOTH engines."""
     from movex_cdc_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), n=3, threshold=0.2)
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.2, max_shingle_df=5
+    )
 
 
 @register(
@@ -755,6 +765,86 @@ def dedup_simhash(spark, sf_dir):
     from movex_cdc_spark.operators.dedup import simhash16
 
     return simhash16(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_features",
+    """
+    WITH m AS (
+      SELECT i AS media_id,
+             ['image','audio','video'][(i % 3) + 1] AS kind,
+             repeat(sha256('media' || CAST(i AS VARCHAR)), CAST(4 + i % 5 AS INT)) AS payload_hex
+      FROM range(0, 64) t(i)),
+    h AS (SELECT media_id, kind, CAST(length(payload_hex) / 2 AS BIGINT) AS n_bytes,
+                 sha256(payload_hex) AS hex FROM m)
+    SELECT media_id, kind, n_bytes,
+      [CAST(list_sum([ (strpos('0123456789abcdef', substr(hex, 2*(j*4+b)+1, 1))-1)*16
+                     + (strpos('0123456789abcdef', substr(hex, 2*(j*4+b)+2, 1))-1)
+                     for b in range(0,4)]) AS BIGINT)
+       for j in range(0,8)] AS feature_checksum
+    FROM h
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Multimodal decode/feature plumbing under the oracle gate: the
+    REAL mapInPandas Arrow-batch path (operators/multimodal.py
+    extract_features) runs over the deterministic synthetic media table;
+    the fake codec derives the feature from sha256 of the payload hex,
+    which the SQL oracle reproduces byte-for-byte. The float32 feature
+    is reduced to its exact integer byte-group checksum (round(f*255))
+    so no float-representation noise enters the hash."""
+    from movex_cdc_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=64)
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.expr("transform(feature, f -> cast(round(f * 255, 0) as bigint))").alias(
+            "feature_checksum"
+        ),
+    )
+
+
+@register(
+    "dedup_simhash64_banded",
+    """
+    WITH t AS (
+      SELECT doc_id, [sha256(tok) for tok in list_distinct(string_split(text, ' '))] AS shas
+      FROM documents),
+    fp AS (
+      SELECT doc_id,
+             array_to_string([CASE WHEN list_sum(
+                 [CASE WHEN substr(h, i, 1) IN ('8','9','a','b','c','d','e','f')
+                       THEN 1 ELSE -1 END for h in shas]) >= 0 THEN '1' ELSE '0' END
+               for i in range(1, 65)], '') AS simhash
+      FROM t),
+    bands AS (
+      SELECT doc_id, b AS band_idx, substr(simhash, b*16+1, 16) AS band_val
+      FROM fp, unnest(range(0, 4)) AS tb(b)),
+    bsz AS (SELECT band_idx, band_val, count(*) AS bn FROM bands GROUP BY 1, 2),
+    capped AS (SELECT bands.* FROM bands JOIN bsz USING (band_idx, band_val) WHERE bn <= 20),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_equal
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_bands_equal FROM pairs
+    """,
+)
+def dedup_simhash64_banded(spark, sf_dir):
+    """64-bit SimHash with 4×16-bit Hamming banding — the scale-correct
+    successor to the 16-bit demo: near-dup candidates collide in ≥1
+    band (any pair within Hamming distance <4 is guaranteed caught),
+    the band-bucket equi-join is the only shuffle, and buckets larger
+    than max_bucket_size (boilerplate fingerprint clusters) are dropped
+    before the self-join, like the jaccard shingle-DF cap."""
+    from movex_cdc_spark.operators.dedup import simhash64_banded_pairs
+
+    return simhash64_banded_pairs(
+        load(spark, sf_dir, "documents"), n_bands=4, max_bucket_size=20
+    )
 
 
 @register(
@@ -1119,6 +1209,64 @@ def cdc_schema_evolution(spark, sf_dir):
     table.merge(b1, seq_col="seq", op_col="op", epoch_id=1)
 
     return table.read().select("repo", F.col("last_seq"), "content", "rev", "etype")
+
+
+@register(
+    "cdc_envelope_sink_contract",
+    f"""
+    WITH tagged AS (
+      SELECT event_id AS id, {OP_CASE_SQL} AS op, user_id, ts,
+             event_id // 100 AS txid,
+             event_type || ':' || CAST(value AS VARCHAR) AS content
+      FROM events)
+    SELECT id,
+           CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END AS operation,
+           '{{"repo":"' || CAST(user_id AS VARCHAR) || '","path":"state"}}' AS msg_key,
+           txid AS transaction_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS ts_iso,
+           CAST(user_id AS VARCHAR) AS payload_repo,
+           length(content) AS payload_content_len
+    FROM tagged
+    """,
+)
+def cdc_envelope_sink_contract(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP outbound sink contract (reference
+    kafka_mock.rb:37-141): the event stream is mapped to change events,
+    EMITTED through the real EnvelopeSink (envelope assembly + validity
+    + size-cap predicates + epoch-fenced append) in 2 epochs, read back
+    from the emitted log, and every envelope's fields — id, operation,
+    message key JSON, transaction id, ISO timestamp, payload content —
+    are compared against the plain-SQL reconstruction. Every validated
+    event appears exactly once (producer semantics, pre-LWW)."""
+    import tempfile
+
+    from movex_cdc_spark.streaming.sink import EnvelopeSink
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.concat_ws(":", "event_type", F.col("value").cast("string")).alias("content"),
+        F.lit(None).cast("string").alias("old_content"),
+        F.col("event_id").alias("seq"),
+        F.expr(OP_CASE_SQL).alias("op"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.col("event_id") / 100).cast("long").alias("txid"),
+    )
+    tdir = tempfile.mkdtemp(prefix="envelope_sink_")
+    sink = EnvelopeSink(spark, f"{tdir}/sink", table_name="repo_files")
+    for i in range(2):
+        sink.emit(ev.filter(F.pmod(F.col("seq"), F.lit(2)) == i), epoch_id=i)
+    return sink.read().select(
+        "id",
+        "operation",
+        "msg_key",
+        "transaction_id",
+        F.col("timestamp").alias("ts_iso"),
+        F.get_json_object("new_payload", "$.repo").alias("payload_repo"),
+        F.length(F.get_json_object("new_payload", "$.content")).alias("payload_content_len"),
+    )
 
 
 @register(

@@ -4,15 +4,27 @@ statistic_counter_concentrator.rb:16-87, and the worker high-water
 marks, transfer_thread.rb:39-44).
 
 One row per (stream_id, epoch_id): event counts per op, max applied
-seq, buckets touched, merge latency. Append-only parquet; the rollup
-job compresses old rows to hourly/daily grain exactly like the
-reference's CompressStatistics (compress_statistics.rb:26-59).
+seq, buckets touched, merge latency. The writer BUFFERS rows in driver
+memory and flushes every ``flush_every`` epochs as ONE parquet file
+written directly with pyarrow — no Spark job, no 1-row files. This is
+the same design as the reference's concentrator, which collects
+per-transfer counters in memory and flushes them periodically in bulk
+(statistic_counter_concentrator.rb:16-87); the trade is identical too:
+a crash loses at most the unflushed window of *metrics* (the data path
+itself is exactly-once via the lake-table fence). The rollup job
+compresses old rows to hourly/daily grain exactly like the reference's
+CompressStatistics (compress_statistics.rb:26-59).
 """
 
 from __future__ import annotations
 
+import os
+import uuid
+from datetime import datetime, timezone
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -34,19 +46,61 @@ METRICS_SCHEMA = T.StructType(
     ]
 )
 
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("stream_id", pa.string()),
+        pa.field("epoch_id", pa.int64()),
+        pa.field("table_version", pa.int64()),
+        pa.field("events", pa.int64()),
+        pa.field("n_insert", pa.int64()),
+        pa.field("n_update", pa.int64()),
+        pa.field("n_delete", pa.int64()),
+        pa.field("n_poison", pa.int64()),
+        pa.field("max_seq", pa.int64()),
+        pa.field("buckets_touched", pa.int32()),
+        pa.field("merge_latency_s", pa.float64()),
+        pa.field("end_ts", pa.timestamp("us")),
+    ]
+)
+
 
 class MetricsTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, flush_every: int = 16):
         self.spark = spark
         self.path = path
+        self.flush_every = flush_every
+        self._buffer: list[dict[str, Any]] = []
 
     def append(self, record: dict[str, Any]) -> None:
         row = {f.name: record.get(f.name) for f in METRICS_SCHEMA.fields}
-        df = self.spark.createDataFrame([row], METRICS_SCHEMA)
-        df = df.withColumn("end_ts", F.coalesce(F.col("end_ts"), F.current_timestamp()))
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        if row["end_ts"] is None:
+            row["end_ts"] = datetime.now(timezone.utc).replace(tzinfo=None)
+        for k in ("epoch_id", "table_version", "events", "n_insert", "n_update",
+                  "n_delete", "n_poison", "max_seq"):
+            if row[k] is not None:
+                row[k] = int(row[k])
+        if row["buckets_touched"] is not None:
+            row["buckets_touched"] = int(row["buckets_touched"])
+        self._buffer.append(row)
+        if len(self._buffer) >= self.flush_every:
+            self.flush()
+
+    def flush(self) -> int:
+        """Write buffered rows as one parquet file. Returns rows flushed."""
+        if not self._buffer:
+            return 0
+        n = len(self._buffer)
+        os.makedirs(self.path, exist_ok=True)
+        cols = {f.name: [r[f.name] for r in self._buffer] for f in METRICS_SCHEMA.fields}
+        tbl = pa.table(cols, schema=_ARROW_SCHEMA)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(self.path, f"metrics-{uuid.uuid4().hex}.parquet"))
+        self._buffer.clear()
+        return n
 
     def read(self) -> DataFrame | None:
+        self.flush()
         try:
             return self.spark.read.schema(METRICS_SCHEMA).parquet(self.path)
         except Exception:

@@ -23,6 +23,7 @@ from pyspark.sql import SparkSession
 from movex_cdc_spark.lake.table import LakeTable
 from movex_cdc_spark.operators.apply import (
     DeadLetterTable,
+    _filter_validate_project,
     apply_batch,
     apply_batch_unkeyed,
 )
@@ -51,6 +52,7 @@ class CdcStreamPipeline:
         config: "object | None" = None,
         table_name: str | None = None,
         unkeyed_log: "object | None" = None,
+        envelope_sink: "object | None" = None,
     ):
         self.spark = spark
         self.table = table
@@ -76,6 +78,10 @@ class CdcStreamPipeline:
         self.table_name = table_name
         # sink for key_handling='N' tables (S5): append-only, no merge
         self.unkeyed_log = unkeyed_log
+        # outbound consumer stream (streaming/sink.py EnvelopeSink):
+        # every validated event is produced as an envelope, pre-LWW,
+        # exactly like the reference's Kafka producer
+        self.envelope_sink = envelope_sink
         self.epochs: list[dict[str, Any]] = []  # this run's lineage records
 
     def set_config(self, config) -> None:
@@ -93,6 +99,22 @@ class CdcStreamPipeline:
         if self.payload_format:
             batch_df = parse_payload_events(batch_df)
         cfg = self._table_cfg()
+        if self.envelope_sink is not None:
+            valid, _poison = _filter_validate_project(
+                batch_df, self.condition_sql, cfg
+            )
+            sink_lin = self.envelope_sink.emit(
+                valid, stream_id=self.stream_id, epoch_id=epoch_id
+            )
+            if sink_lin.get("rejected_df") is not None and self.dead_letter is not None:
+                # envelope-shaped rejects get their own quarantine dir —
+                # mixing them into the event-shaped dead letters would
+                # corrupt that table's read schema
+                DeadLetterTable(self.spark, self.dead_letter.path + "_envelope").append(
+                    sink_lin.pop("rejected_df"),
+                    stream_id=f"{self.stream_id}-sink",
+                    epoch_id=epoch_id,
+                )
         if cfg is not None and cfg.key_handling == "N":
             if self.unkeyed_log is None:
                 raise ValueError("key_handling='N' requires an unkeyed_log sink")
@@ -146,6 +168,8 @@ class CdcStreamPipeline:
         q.awaitTermination(timeout_s)
         if q.isActive:
             q.stop()
+        if self.metrics is not None:
+            self.metrics.flush()  # drain the buffered lineage window
         if q.exception():
             raise q.exception()
         return self.epochs

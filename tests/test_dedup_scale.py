@@ -1,0 +1,73 @@
+"""Scale guards on the dedup operators: the hot-shingle DF cap bounds
+the jaccard self-join, and 64-bit banded SimHash finds planted
+near-dups while capping boilerplate buckets."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from movex_cdc_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash64_banded_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_hot_shingle_cap_bounds_pair_explosion(spark):
+    """One boilerplate line shared by every doc (a license header at
+    10^10 docs) must not explode the candidate self-join: with the DF
+    cap the block is dropped entirely; without it the pair count is
+    quadratic in corpus size."""
+    boiler = "licensed under the apache license version two"
+    n = 60
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(n)]
+    df = _docs(spark, rows)
+
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_shingle_df=None)
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_shingle_df=10)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    # every pair of docs shares the boilerplate shingles -> full n*(n-1)/2
+    assert n_uncapped == n * (n - 1) // 2
+    # the boilerplate shingles all have df = n > cap -> no block survives
+    assert n_capped == 0
+
+    # a genuine near-dup (sharing RARE shingles) still surfaces under the cap
+    df2 = _docs(spark, rows + [(999, "unique5a unique5b unique5c unique5d tail")])
+    found = (
+        ngram_jaccard_pairs(df2, n=3, threshold=0.05, max_shingle_df=10)
+        .filter((F.col("id_a") == 5) & (F.col("id_b") == 999))
+        .count()
+    )
+    assert found == 1
+
+
+def test_simhash64_banded_near_dups_and_bucket_cap(spark):
+    base = " ".join(f"tok{i}word{i * 7 % 13}" for i in range(40))
+    near = base.replace("tok3word8", "tok3word9")  # one-token edit
+    rows = [(1, base), (2, near)]
+    # unrelated docs with disjoint vocabularies
+    rows += [(10 + j, " ".join(f"other{j}tok{i}" for i in range(40))) for j in range(8)]
+    df = _docs(spark, rows)
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert all(len(v) == 64 for v in fp.values())
+    hamming = sum(a != b for a, b in zip(fp[1], fp[2]))
+    assert hamming < 16  # one-token edit barely moves a 64-bit fingerprint
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_bands_equal"]
+        for r in simhash64_banded_pairs(df, n_bands=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+
+    # boilerplate cluster: many docs with IDENTICAL text share all 4
+    # bands; a bucket cap below the cluster size drops the block
+    clones = [(100 + j, "same same text for every clone doc") for j in range(12)]
+    dfc = _docs(spark, clones)
+    uncapped = simhash64_banded_pairs(dfc, n_bands=4).count()
+    capped = simhash64_banded_pairs(dfc, n_bands=4, max_bucket_size=5).count()
+    assert uncapped == 12 * 11 // 2
+    assert capped == 0

@@ -1,0 +1,86 @@
+"""Outbound EnvelopeSink: KafkaMock invariants (envelope validity,
+per-key ascending ids, size cap), epoch fencing, pipeline integration."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from movex_cdc_spark.config.table_config import repo_files_config
+from movex_cdc_spark.datagen import GenParams, generate_events
+from movex_cdc_spark.lake.table import LakeTable
+from movex_cdc_spark.operators.apply import KEY_COLS, REPO_FILES_SCHEMA
+from movex_cdc_spark.sources.events import write_event_files
+from movex_cdc_spark.streaming.pipeline import CdcStreamPipeline
+from movex_cdc_spark.streaming.sink import EnvelopeSink
+
+COLS = ["seq", "repo", "path", "commit", "lang", "content", "old_content", "op"]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=COLS))
+
+
+def test_emit_validate_and_fence(spark, tmp_path):
+    sink = EnvelopeSink(spark, str(tmp_path / "sink"), max_bytes=500)
+    ok_rows = [(i, "r", f"p{i}", "c", "py", f"content {i}", None, "I") for i in range(5)]
+    big = [(99, "r", "big", "c", "py", "x" * 2000, None, "I")]  # blows the cap
+    r = sink.emit(_batch(spark, ok_rows + big), epoch_id=0)
+    assert r["n_rejected"] == 1
+    rej = r["rejected_df"].collect()
+    assert rej[0]["error_msg"] == "message exceeds size cap"
+    out = sink.read()
+    assert out.count() == 5
+    # envelope JSON validity on everything emitted
+    assert (
+        out.filter(F.get_json_object("new_payload", "$.content").isNull()).count() == 0
+    )
+    # fenced replay appends nothing
+    r2 = sink.emit(_batch(spark, ok_rows), epoch_id=0)
+    assert r2.get("skipped")
+    assert sink.read().count() == 5
+
+
+def test_audit_per_key_ascending(spark, tmp_path):
+    sink = EnvelopeSink(spark, str(tmp_path / "sink"))
+    # epoch 0: key p has ids 1..3; epoch 1: ids 5..6 — ascending, clean
+    sink.emit(_batch(spark, [(i, "r", "p", "c", "py", f"v{i}", None, "U") for i in (1, 2, 3)]), epoch_id=0)
+    sink.emit(_batch(spark, [(i, "r", "p", "c", "py", f"v{i}", None, "U") for i in (5, 6)]), epoch_id=1)
+    a = sink.audit()
+    assert a["messages"] == 5 and a["violations"] == 0
+    # epoch 2 delivers a LATE id 4 for the same key -> ordering violation
+    sink.emit(_batch(spark, [(4, "r", "p", "c", "py", "v4", None, "U")]), epoch_id=2)
+    a2 = sink.audit()
+    assert a2["violations"] == 1
+
+
+def test_pipeline_with_envelope_sink(spark, tmp_path):
+    p = GenParams(n_events=2000, seed=29)
+    ev = generate_events(p)
+    write_event_files(ev, str(tmp_path / "events"), n_files=3)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4)
+    sink = EnvelopeSink(spark, str(tmp_path / "sink"))
+    pipe = CdcStreamPipeline(
+        spark,
+        t,
+        events_dir=str(tmp_path / "events"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dead_letter_dir=str(tmp_path / "dl"),
+        config=repo_files_config(),
+        envelope_sink=sink,
+        max_files_per_trigger=1,
+    )
+    pipe.run_available_now()
+    # every validated event produced exactly once (pre-LWW, like the
+    # reference producer); poison/filtered/no-op rows are absent
+    marked = ev["content"].fillna("").str.contains("EXCLUDE FILTER", regex=False)
+    valid = ev[~(marked & ev["op"].isin(["I", "U"]))]
+    valid = valid[~(valid["content"].isna() & valid["op"].isin(["I", "U"]))]
+    valid = valid[~valid["is_noop"]]
+    out = sink.read()
+    assert out.count() == len(valid)
+    assert set(r["id"] for r in out.select("id").collect()) == set(valid["seq"])
+    # bounded-disorder input within one availableNow drain stays ordered
+    # per key across the emitted epochs unless disorder crosses a file
+    # boundary; audit reports the count either way
+    a = sink.audit()
+    assert a["messages"] == len(valid)
+    assert a["keys"] == valid.groupby(["repo", "path"]).ngroups
