@@ -89,13 +89,60 @@ def sign_lsh_bucket(df: DataFrame, bits: int = 8, vec_col: str = VEC_COL):
     )
 
 
+def random_hyperplanes(bits: int = 8, dim: int = 64, seed: str = "proj") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights derived from
+    sha256 — w[p][d] = (first byte of sha256('{seed}{p}|{d}')) - 127.5,
+    a zero-mean integer-plus-half lattice. Reproducible in any engine
+    with sha256 (the DuckDB oracle re-derives the identical matrix), and
+    exactly representable in binary floating point (halves), so the
+    sign of the projection is bit-stable across engines."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.sha256(f"{seed}{p}|{d}".encode()).hexdigest()[:2], 16) - 127.5
+            for d in range(dim)
+        ]
+        for p in range(bits)
+    ]
+
+
+def random_projection_bucket(
+    bits: int = 8, dim: int = 64, seed: str = "proj", vec_col: str = VEC_COL
+):
+    """Sign-pattern bucket over `bits` REAL random projections (vs the
+    axis-aligned demo in sign_lsh_bucket, whose recall depends on the
+    data's first dimensions). The weight matrix is broadcast as plan
+    literals — Catalyst constant-folds it, so per row the work is
+    bits × dim fused multiply-adds in codegen, no shuffle, no UDF."""
+    planes = random_hyperplanes(bits, dim, seed)
+    bit_exprs = []
+    for w in planes:
+        arr = "array(" + ",".join(f"{x}D" for x in w) + ")"
+        bit_exprs.append(
+            f"case when aggregate(zip_with({vec_col}, {arr},"
+            f" (x, y) -> cast(x as double) * y),"
+            f" cast(0.0 as double), (acc, v) -> acc + v) >= 0 then '1' else '0' end"
+        )
+    return F.expr("concat(" + ", ".join(bit_exprs) + ")")
+
+
 def cosine_topk_lsh(
-    corpus: DataFrame, k: int = 1, bits: int = 8, max_query_id: int | None = 30, round_to: int = 6
+    corpus: DataFrame,
+    k: int = 1,
+    bits: int = 8,
+    max_query_id: int | None = 30,
+    round_to: int = 6,
+    bucket_expr=None,
 ) -> DataFrame:
     """ANN via sign-LSH blocking: cosine computed only within buckets.
     The bucket equi-join replaces the cross join — at 10^10 rows the
-    per-bucket candidate sets are ~|corpus| / 2^bits."""
-    withb = with_norm(corpus).withColumn("bucket", sign_lsh_bucket(corpus, bits))
+    per-bucket candidate sets are ~|corpus| / 2^bits. ``bucket_expr``
+    overrides the default axis-aligned sketch (pass
+    random_projection_bucket(...) for the production variant)."""
+    if bucket_expr is None:
+        bucket_expr = sign_lsh_bucket(corpus, bits)
+    withb = with_norm(corpus).withColumn("bucket", bucket_expr)
     q = withb.filter(F.col(ID_COL) < max_query_id) if max_query_id is not None else withb
     q = q.select(
         F.col(ID_COL).alias("q_id"), F.col(VEC_COL).alias("q_vec"),

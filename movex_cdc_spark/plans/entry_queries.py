@@ -904,6 +904,53 @@ def ann_lsh_bucketed(spark, sf_dir):
 
 
 @register(
+    "ann_random_projection_lsh",
+    """
+    WITH pl AS (
+      SELECT [[ CAST((strpos('0123456789abcdef', substr(sha256('proj' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1))-1)*16.0
+              + (strpos('0123456789abcdef', substr(sha256('proj' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 2, 1))-1) - 127.5 AS DOUBLE)
+              for d in range(0, 64)] for p in range(0, 8)] AS ws),
+    nm AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_reduce([x * x for x in embedding::DOUBLE[]], (a, b) -> a + b)) AS norm
+      FROM embeddings),
+    b AS (
+      SELECT vec_id, v, norm,
+             array_to_string([CASE WHEN list_reduce([z[1]*z[2] for z in list_zip(v, w)], (a, b) -> a + b) >= 0
+                              THEN '1' ELSE '0' END for w in ws], '') AS bucket
+      FROM nm, pl),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round(list_reduce([z[1] * z[2] for z in list_zip(q.v, c.v)], (a, b) -> a + b)
+                   / (q.norm * c.norm), 6) AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 30 AND q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+      FROM pairs)
+    SELECT q_id, n_id AS neighbor_id, cosine, rk FROM ranked WHERE rk <= 1
+    """,
+)
+def ann_random_projection_lsh(spark, sf_dir):
+    """Production-variant ANN: 8 REAL random hyperplanes (sha256-seeded,
+    zero-mean, broadcast as constant-folded plan literals — recall no
+    longer depends on the data's first dimensions like the axis-aligned
+    demo). Bucket = sign pattern of the 8 projections; cosine only
+    inside buckets; the bucket equi-join is the only shuffle. The oracle
+    re-derives the identical weight matrix from sha256 in SQL."""
+    from movex_cdc_spark.operators.similarity import (
+        cosine_topk_lsh,
+        random_projection_bucket,
+    )
+
+    return cosine_topk_lsh(
+        load(spark, sf_dir, "embeddings"),
+        k=1,
+        max_query_id=30,
+        bucket_expr=random_projection_bucket(bits=8, dim=64, seed="proj"),
+    )
+
+
+@register(
     "embedding_stats_by_label",
     """
     WITH nm AS (
@@ -1209,6 +1256,208 @@ def cdc_schema_evolution(spark, sf_dir):
     table.merge(b1, seq_col="seq", op_col="op", epoch_id=1)
 
     return table.read().select("repo", F.col("last_seq"), "content", "rev", "etype")
+
+
+@register(
+    "cdc_bootstrap_init_load",
+    f"""
+    WITH uids AS (SELECT DISTINCT user_id FROM events),
+    changes AS (
+      SELECT user_id, event_id, {OP_CASE_SQL} AS op,
+             event_type || ':' || CAST(value AS VARCHAR) AS content
+      FROM events WHERE user_id % 5 <> 0),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM changes),
+    from_changes AS (
+      SELECT CAST(user_id AS VARCHAR) AS repo, event_id AS last_seq, content
+      FROM ranked WHERE rn = 1 AND op <> 'D'),
+    init_only AS (
+      SELECT CAST(user_id AS VARCHAR) AS repo, 0 AS last_seq,
+             'init:' || CAST(user_id AS VARCHAR) AS content
+      FROM uids WHERE user_id % 5 = 0 AND user_id % 3 <> 0)
+    SELECT * FROM from_changes UNION ALL SELECT * FROM init_only
+    """,
+)
+def cdc_bootstrap_init_load(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP initial snapshot load (S8; reference flashback
+    SELECT → INIT events, db_trigger_generator_oracle.rb:499-569): a
+    base snapshot of every key becomes op='I' events at seq 0 through
+    snapshot_to_init_events (honoring initialization_filter, here
+    user_id%3<>0, and initialization_order_by), merged as epoch 0; real
+    changes (only keys with user_id%5<>0, so some keys stay
+    init-only) stream on top in 2 epochs. Later seqs win over the
+    snapshot exactly as changes after the flashback SCN win in the
+    reference; snapshot rows survive only for keys with no changes."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.config.table_config import ColumnCfg, TableCfg
+    from movex_cdc_spark.lake.table import LakeTable
+    from movex_cdc_spark.operators.bootstrap import snapshot_to_init_events
+    from movex_cdc_spark.operators.lww import lww_dedup_maxby
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.col("event_id").alias("seq"),
+        F.expr(OP_CASE_SQL).alias("op"),
+        F.concat_ws(":", "event_type", F.col("value").cast("string")).alias("content"),
+    )
+    base = (
+        ev.select("repo").distinct()
+        .withColumn("path", F.lit("state"))
+        .withColumn("content", F.concat(F.lit("init:"), F.col("repo")))
+    )
+    cfg = TableCfg(
+        name="state",
+        key_cols=["repo", "path"],
+        columns=[ColumnCfg("repo"), ColumnCfg("path"), ColumnCfg("content")],
+        initialization=True,
+        initialization_filter="cast(repo as bigint) % 3 <> 0",
+        initialization_order_by="repo",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    tdir = tempfile.mkdtemp(prefix="bootstrap_")
+    table = LakeTable.create(spark, f"{tdir}/t", schema, ["repo", "path"], n_buckets=8)
+    table.merge(snapshot_to_init_events(base, cfg, snapshot_seq=0),
+                seq_col="seq", op_col="op", epoch_id=0)
+    changes = ev.filter(F.col("repo").cast("long") % 5 != 0)
+    for i in range(2):
+        batch = lww_dedup_maxby(
+            changes.filter(F.pmod(F.col("seq"), F.lit(2)) == i), ["repo", "path"]
+        )
+        table.merge(batch, seq_col="seq", op_col="op", epoch_id=i + 1)
+    return table.read().select("repo", F.col("last_seq"), "content")
+
+
+@register(
+    "cdc_retry_heal_final_state",
+    f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, {OP_CASE_SQL} AS op,
+             CASE WHEN value < 0.1 AND {OP_CASE_SQL} <> 'D'
+                  THEN 'healed:' || CAST(event_id AS VARCHAR)
+                  ELSE event_type || ':' || CAST(value AS VARCHAR) END AS content
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM tagged)
+    SELECT CAST(user_id AS VARCHAR) AS repo, event_id AS last_seq, content
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_retry_heal_final_state(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP dead-letter + retry round trip (S7/S11/ST5;
+    reference transfer_thread.rb:358-371,468-491): events with value <
+    0.1 are poisoned (NULL content), quarantined by apply_batch into the
+    dead-letter table across 2 epochs, then healed (content restored as
+    'healed:'+seq) and re-admitted through RetryWorker — which re-applies
+    them through the SAME fenced merge path. The final state must equal
+    LWW over the union of clean and healed events: re-admission keeps the
+    original seq, so a healed row wins only where it would have won."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.lake.table import LakeTable
+    from movex_cdc_spark.operators.apply import DeadLetterTable, apply_batch
+    from movex_cdc_spark.streaming.retry import RetryWorker
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.col("event_id").alias("seq"),
+        F.expr(OP_CASE_SQL).alias("op"),
+        F.when(
+            (F.col("value") < 0.1) & (F.expr(OP_CASE_SQL) != "D"), F.lit(None)
+        ).otherwise(
+            F.concat_ws(":", "event_type", F.col("value").cast("string"))
+        ).alias("content"),
+        # non-null old image (as a real U trigger carries): otherwise a
+        # poison U row (null content) would no-op-suppress against a
+        # null old image instead of reaching the dead letter
+        F.lit("prev").alias("old_content"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("content_sha", T.StringType()),
+        ]
+    )
+    tdir = tempfile.mkdtemp(prefix="retry_heal_")
+    table = LakeTable.create(spark, f"{tdir}/t", schema, ["repo", "path"], n_buckets=8)
+    dl = DeadLetterTable(spark, f"{tdir}/dl")
+    for i in range(2):
+        apply_batch(
+            table,
+            ev.filter(F.pmod(F.col("seq"), F.lit(2)) == i),
+            epoch_id=i,
+            condition_sql="1=1",  # no exclusion fixture in this stream
+            dead_letter=dl,
+        )
+    # heal the quarantined rows (the reference operator fixing bad data)
+    healed = dl.read().withColumn(
+        "content", F.concat(F.lit("healed:"), F.col("seq").cast("string"))
+    )
+    healed.write.mode("overwrite").parquet(f"{tdir}/dl2")
+    worker = RetryWorker(
+        spark, table, DeadLetterTable(spark, f"{tdir}/dl2"), f"{tdir}/final"
+    )
+    worker.readmit(epoch_id=10)
+    return table.read().select("repo", F.col("last_seq"), "content")
+
+
+@register(
+    "cdc_unkeyed_append",
+    f"""
+    SELECT event_id AS seq, {OP_CASE_SQL} AS op,
+           event_type || ':' || CAST(value AS VARCHAR) AS content,
+           CAST(NULL AS VARCHAR) AS msg_key
+    FROM events
+    """,
+)
+def cdc_unkeyed_append(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP unkeyed path (S5; reference keyless produce
+    with relaxed ordering, transfer_thread.rb:331-347): a
+    key_handling='N' table routes through apply_batch_unkeyed into the
+    epoch-fenced UnkeyedEventLog — every valid event appended exactly
+    once across 2 epochs, NO LWW collapse, NULL message keys."""
+    import tempfile
+
+    from movex_cdc_spark.config.table_config import ColumnCfg, TableCfg
+    from movex_cdc_spark.lake.append_log import UnkeyedEventLog
+    from movex_cdc_spark.operators.apply import apply_batch_unkeyed
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.expr(OP_CASE_SQL).alias("op"),
+        F.concat_ws(":", "event_type", F.col("value").cast("string")).alias("content"),
+        F.lit(None).cast("string").alias("old_content"),
+    )
+    cfg = TableCfg(
+        name="events_unkeyed",
+        key_cols=[],
+        columns=[ColumnCfg("content")],
+        key_handling="N",
+    )
+    tdir = tempfile.mkdtemp(prefix="unkeyed_")
+    log = UnkeyedEventLog.create(spark, f"{tdir}/log")
+    for i in range(2):
+        apply_batch_unkeyed(
+            log, ev.filter(F.pmod(F.col("seq"), F.lit(2)) == i),
+            epoch_id=i, table_cfg=cfg,
+        )
+    return log.read().select("seq", "op", "content", "msg_key")
 
 
 @register(
