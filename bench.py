@@ -233,9 +233,65 @@ def run_cdc_apply_direct(spark, workdir: str, tag: str, n_events: int) -> dict:
     }
 
 
+def run_cow_vs_mor(spark, workdir: str, n_events: int = 200_000, n_epochs: int = 20) -> dict:
+    """Write-amplification bench: the SAME stream applied as many tiny
+    epochs through (a) eager COW merge — every epoch rewrites its
+    touched buckets — and (b) the merge-on-read delta path (append-only
+    epochs + one final compaction). Small frequent epochs are exactly
+    where COW loses at 100 TB; this measures how much MoR buys back,
+    and asserts both paths materialize identical states."""
+    from pyspark.sql import functions as F
+
+    from movex_cdc_spark.lake.mor import MergeOnReadTable
+    from movex_cdc_spark.lake.table import LakeTable
+    from movex_cdc_spark.operators.apply import KEY_COLS, REPO_FILES_SCHEMA, apply_batch
+    from movex_cdc_spark.sources.events import PAYLOAD_EVENTS_SCHEMA, parse_payload_events
+
+    stage, _ = _stage_cdc_input(workdir, n_events)
+    ev = parse_payload_events(
+        spark.read.schema(PAYLOAD_EVENTS_SCHEMA).parquet(os.path.join(stage, "events_json"))
+    ).persist()
+    ev.count()
+    out = {"n_events": n_events, "n_epochs": n_epochs}
+
+    run_dir = os.path.join(workdir, "run-cowmor")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    cow = LakeTable.create(spark, os.path.join(run_dir, "cow"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=32)
+    t0 = time.monotonic()
+    for i in range(n_epochs):
+        apply_batch(cow, ev.filter(F.pmod(F.col("seq"), F.lit(n_epochs)) == i), epoch_id=i)
+    out["cow_wall_s"] = round(time.monotonic() - t0, 2)
+
+    base = LakeTable.create(spark, os.path.join(run_dir, "base"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=32)
+    mor = MergeOnReadTable(base, os.path.join(run_dir, "delta"), compact_rows=10**12)
+    t0 = time.monotonic()
+    for i in range(n_epochs):
+        apply_batch(mor, ev.filter(F.pmod(F.col("seq"), F.lit(n_epochs)) == i), epoch_id=i)
+    out["mor_append_wall_s"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    mor.compact()
+    out["mor_compact_wall_s"] = round(time.monotonic() - t0, 2)
+    out["mor_total_wall_s"] = round(out["mor_append_wall_s"] + out["mor_compact_wall_s"], 2)
+    out["write_amp_speedup"] = round(out["cow_wall_s"] / out["mor_total_wall_s"], 2)
+
+    a = cow.read().select("repo", "path", "content_sha")
+    b = mor.read().select("repo", "path", "content_sha")
+    out["states_equal"] = (a.exceptAll(b).count() + b.exceptAll(a).count()) == 0
+    ev.unpersist()
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     scaling = "--scaling" in sys.argv
     workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/movex_bench")
+    if "--mor" in sys.argv:
+        spark = make_spark(CPUS)
+        n = int(os.environ.get("SPARK_GRAFT_MOR_EVENTS", "200000"))
+        print(json.dumps({"metric": "cow_vs_mor_tiny_epochs",
+                          **run_cow_vs_mor(spark, workdir, n_events=n)}))
+        spark.stop()
+        return
     os.makedirs(workdir, exist_ok=True)
 
     if scaling:

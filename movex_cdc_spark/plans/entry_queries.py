@@ -1259,6 +1259,63 @@ def cdc_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "cdc_mor_replay_final_state",
+    f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, {OP_CASE_SQL} AS op,
+             event_type || ':' || CAST(value AS VARCHAR) AS content
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM tagged)
+    SELECT CAST(user_id AS VARCHAR) AS repo, event_id AS last_seq, content
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_mor_replay_final_state(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP merge-on-read path (lake/mor.py — the COW
+    write-amplification answer for tiny frequent epochs): 4 epochs are
+    appended to the delta log (zero bucket rewrites), a compaction folds
+    epochs 0-1 into the base mid-stream, two more delta epochs land on
+    top, and the read-time LWW over base ∪ delta must equal the same
+    plain-SQL oracle the eager COW replay satisfies — the COW/MoR
+    equivalence is associativity of max-by-seq."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.lake.mor import MergeOnReadTable
+    from movex_cdc_spark.lake.table import LakeTable
+    from movex_cdc_spark.operators.lww import lww_dedup_maxby
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.col("event_id").alias("seq"),
+        F.expr(OP_CASE_SQL).alias("op"),
+        F.concat_ws(":", "event_type", F.col("value").cast("string")).alias("content"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    tdir = tempfile.mkdtemp(prefix="mor_replay_")
+    base = LakeTable.create(spark, f"{tdir}/base", schema, ["repo", "path"], n_buckets=8)
+    mor = MergeOnReadTable(base, f"{tdir}/delta", compact_rows=10**9)
+    for i in range(4):
+        batch = lww_dedup_maxby(
+            ev.filter(F.pmod(F.col("seq"), F.lit(4)) == i), ["repo", "path"]
+        )
+        mor.merge(batch, seq_col="seq", op_col="op", epoch_id=i)
+        if i == 1:
+            mor.compact()  # fold the first two epochs into the base
+    return mor.read().select("repo", F.col("last_seq"), "content")
+
+
+@register(
     "cdc_bootstrap_init_load",
     f"""
     WITH uids AS (SELECT DISTINCT user_id FROM events),

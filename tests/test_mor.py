@@ -1,0 +1,126 @@
+"""Merge-on-read path: COW-equivalence, compaction, fencing, crash
+window, and apply_batch integration."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from movex_cdc_spark.datagen import GenParams, generate_events, replay_oracle
+from movex_cdc_spark.lake.mor import COMPACT_STREAM, MergeOnReadTable
+from movex_cdc_spark.lake.table import LakeTable
+from movex_cdc_spark.operators.apply import KEY_COLS, REPO_FILES_SCHEMA, apply_batch
+from movex_cdc_spark.operators.lww import lww_dedup_maxby
+
+
+def _tables(spark, tmp_path, compact_rows=10**9):
+    cow = LakeTable.create(spark, str(tmp_path / "cow"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4)
+    base = LakeTable.create(spark, str(tmp_path / "base"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4)
+    mor = MergeOnReadTable(base, str(tmp_path / "delta"), compact_rows=compact_rows)
+    return cow, mor
+
+
+def _clean_batches(spark, n_events=2000, seed=37, epochs=3):
+    ev = generate_events(GenParams(n_events=n_events, seed=seed, p_poison=0.0, p_filtered=0.0))
+    ev = ev[~ev["is_noop"]].drop(columns=["is_noop", "ts", "txid", "old_content"])
+    df = spark.createDataFrame(ev)
+    return ev, [df.filter(F.pmod(F.col("seq"), F.lit(epochs)) == i) for i in range(epochs)]
+
+
+def _state(t):
+    return {
+        (r["repo"], r["path"]): (r["content"], r["last_seq"])
+        for r in t.read().select("repo", "path", "content", "last_seq").collect()
+    }
+
+
+def test_mor_equals_cow(spark, tmp_path):
+    cow, mor = _tables(spark, tmp_path)
+    _, batches = _clean_batches(spark)
+    for i, b in enumerate(batches):
+        d = lww_dedup_maxby(b, KEY_COLS)
+        cow.merge(d, epoch_id=i)
+        lin = mor.merge(d, epoch_id=i)
+        assert lin["mode"] == "delta-append"
+    assert _state(cow) == _state(mor)
+    # delta never rewrote the base: base is still at its created version
+    assert mor.base.read().count() == 0
+
+
+def test_mor_compaction_preserves_state_and_truncates(spark, tmp_path):
+    cow, mor = _tables(spark, tmp_path, compact_rows=10**9)
+    _, batches = _clean_batches(spark)
+    for i, b in enumerate(batches):
+        d = lww_dedup_maxby(b, KEY_COLS)
+        cow.merge(d, epoch_id=i)
+        mor.merge(d, epoch_id=i)
+    before = _state(mor)
+    lin = mor.compact()
+    assert lin["mode"] == "compaction"
+    assert _state(mor) == before == _state(cow)
+    # delta is empty, base carries the state now
+    assert mor.delta.meta()["files"] == []
+    assert mor.base.read().count() == len(before)
+    # post-compaction merges keep working and later seqs still win
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            [(10**9, "repo_0", "src/mod0/file0.txt", "c", "py", "NEWEST", "U")],
+            columns=["seq", "repo", "path", "commit", "lang", "content", "op"],
+        )
+    )
+    mor.merge(extra, epoch_id=99)
+    got = {r["path"]: r["content"] for r in mor.read().filter("repo = 'repo_0'").collect()}
+    assert got["src/mod0/file0.txt"] == "NEWEST"
+
+
+def test_mor_auto_compaction_threshold(spark, tmp_path):
+    _, mor = _tables(spark, tmp_path, compact_rows=1000)
+    _, batches = _clean_batches(spark, n_events=2400, epochs=3)
+    lins = [mor.merge(lww_dedup_maxby(b, KEY_COLS), epoch_id=i) for i, b in enumerate(batches)]
+    assert any("compaction" in l for l in lins)
+    assert mor.delta.meta()["rows"] < 1000  # compacted at least once
+
+
+def test_mor_epoch_fence_and_crash_window(spark, tmp_path):
+    _, mor = _tables(spark, tmp_path)
+    _, batches = _clean_batches(spark, n_events=600, epochs=2)
+    d0 = lww_dedup_maxby(batches[0], KEY_COLS)
+    mor.merge(d0, epoch_id=0)
+    n = mor.read().count()
+    # replayed delta epoch is fenced
+    r = mor.merge(d0, epoch_id=0)
+    assert r.get("skipped")
+    assert mor.read().count() == n
+
+    # crash window: the base merge of a compaction committed, but the
+    # truncate did not happen — a compact() replay must be a fenced
+    # no-op merge followed by the truncate, with unchanged state
+    before = _state(mor)
+    dv = mor.delta.meta()["version"]
+    squashed = mor.delta.read()
+    payload = [c for c in squashed.columns if c not in KEY_COLS and c != "__d_seq"]
+    squashed = (
+        squashed.groupBy(*KEY_COLS)
+        .agg(F.max_by(F.struct(*payload), F.col("__d_seq")).alias("__w"),
+             F.max("__d_seq").alias("__d_seq"))
+        .select(*KEY_COLS, *[F.col(f"__w.{c}").alias(c) for c in payload], "__d_seq")
+    )
+    mor.base.merge(squashed, seq_col="__d_seq", op_col="__d_op",
+                   stream_id=COMPACT_STREAM, epoch_id=dv)  # "crash" here
+    lin = mor.compact()  # replay: merge fenced, truncate proceeds
+    assert lin.get("skipped")
+    assert mor.delta.meta()["files"] == []
+    assert _state(mor) == before
+
+
+def test_apply_batch_through_mor(spark, tmp_path):
+    ev = generate_events(GenParams(n_events=1500, seed=41))
+    base = LakeTable.create(spark, str(tmp_path / "base"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4)
+    mor = MergeOnReadTable(base, str(tmp_path / "delta"))
+    df = spark.createDataFrame(ev.drop(columns=["is_noop"]))
+    for i in range(2):
+        apply_batch(mor, df.filter(F.pmod(F.col("seq"), F.lit(2)) == i), epoch_id=i)
+    final = mor.read().select("repo", "path", "content_sha").toPandas()
+    oracle = replay_oracle(ev.iloc[0:0][["repo", "path", "commit", "lang", "content"]], ev)
+    m = final.merge(oracle[["repo", "path", "content_sha"]], on=["repo", "path"],
+                    how="outer", indicator=True, suffixes=("_e", "_o"))
+    assert (m["_merge"] == "both").all()
+    assert (m["content_sha_e"] == m["content_sha_o"]).all()
