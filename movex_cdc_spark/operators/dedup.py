@@ -57,6 +57,29 @@ def exact_dup_groups(df: DataFrame, text_col: str = TEXT_COL, id_col: str = ID_C
     )
 
 
+def pairs_within_groups(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """Explode a sorted id-array column into its (id_a < id_b) pairs —
+    entirely inside codegen (nested transform + flatten), replacing the
+    block self-join. The self-join evaluates the whole upstream subtree
+    TWICE (measured 2× on the minhash path) and shuffles both sides;
+    this shape groups once and generates pairs locally. Array sizes are
+    bounded by the block-size caps (max_shingle_df / max_bucket_size),
+    which is what makes per-row pair generation safe at scale."""
+    return grouped.select(
+        *[c for c in grouped.columns if c != ids_col],
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, size({ids_col}) - 1),"
+                f" i -> transform(slice({ids_col}, i + 1, size({ids_col}) - i),"
+                f" j -> struct({ids_col}[i - 1] as id_a, j as id_b))))"
+            )
+        ).alias("__pair"),
+    ).select(
+        *[c for c in grouped.columns if c != ids_col],
+        F.col("__pair.id_a"), F.col("__pair.id_b"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -66,37 +89,38 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Candidate pairs by shared n-gram shingles with Jaccard >= t.
 
-    shuffle profile: explode -> shingle-DF filter -> join on shingle
-    (blocking) -> pair agg. Docs sharing zero shingles never meet, so
-    cost scales with true overlap, not with |docs|².
+    shuffle profile: explode -> ONE groupBy(shingle) (DF filter + id
+    list in the same aggregation) -> in-codegen pair generation ->
+    pair agg. Docs sharing zero shingles never meet, so cost scales
+    with true overlap, not with |docs|².
 
     max_shingle_df is the 100-TB guard: a shingle appearing in d docs
     produces O(d²) candidate pairs in its block, so ONE boilerplate
     shingle (a license header, a template line) at d=10^6 would emit
     10^12 pairs. Shingles with document frequency > max_shingle_df are
-    dropped from the similarity universe BEFORE the self-join — one
-    extra narrow groupBy(shingle).count() — bounding any block at
-    max_shingle_df² pairs. Jaccard is then exact over the capped
-    universe: doc sizes count only surviving shingles, so dropped
-    shingles leave both numerator and denominator. (df=1 shingles are
-    additionally skipped in the join — they cannot form a pair — but
-    still count toward sizes.)"""
+    dropped from the similarity universe entirely — bounding any block
+    at max_shingle_df² pairs AND bounding the per-shingle id array the
+    pair generator explodes. Jaccard is exact over the capped universe:
+    doc sizes count only surviving shingles, so dropped shingles leave
+    both numerator and denominator. (df=1 shingles cannot form a pair
+    but still count toward sizes.)"""
     sh = with_shingles(df, n).select(id_col, "shingles")
     ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    grouped = ex.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
     if max_shingle_df is not None:
-        dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        ok = dfreq.filter(F.col("df") <= max_shingle_df)
-        ex = ex.join(ok, "shingle")
-        sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-        joinable = ex.filter(F.col("df") >= 2).drop("df")
-        ex = ex.drop("df")
+        grouped = grouped.filter(F.size("ids") <= max_shingle_df)
+        sizes = (
+            grouped.select(F.explode("ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
     else:
         sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
-        joinable = ex
-    a, b = joinable.alias("a"), joinable.alias("b")
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        pairs_within_groups(grouped.filter(F.size("ids") >= 2).select("ids"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -147,17 +171,12 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_val")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    grouped = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    return pairs_within_groups(grouped.select("ids")).distinct()
 
 
 def simhash64(df: DataFrame, text_col: str = TEXT_COL, id_col: str = ID_COL) -> DataFrame:
@@ -214,20 +233,14 @@ def simhash64_banded_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_val")
+    grouped = bands.groupBy("band_idx", "band_val").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
     if max_bucket_size is not None:
-        sizes = bands.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("bn"))
-        bands = bands.join(
-            sizes.filter(F.col("bn") <= max_bucket_size), ["band_idx", "band_val"]
-        ).drop("bn")
-    a, b = bands.alias("a"), bands.alias("b")
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        pairs_within_groups(grouped.filter(F.size("ids") >= 2).select("ids"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands_equal"))
     )
 
