@@ -1259,6 +1259,70 @@ def cdc_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "streaming_stateful_sessions",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM d),
+    agg AS (
+      SELECT user_id, session_id,
+             count(*) AS events_in_session,
+             first(event_id ORDER BY ts, event_id) AS first_seq,
+             last(event_id ORDER BY ts, event_id) AS last_seq
+      FROM s GROUP BY user_id, session_id)
+    SELECT user_id, session_id, events_in_session, first_seq, last_seq
+    FROM (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS max_sid FROM agg)
+    WHERE session_id < max_sid
+    """,
+)
+def streaming_stateful_sessions(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP custom stateful streaming operator
+    (applyInPandasWithState, streaming/windows.py): the REAL streaming
+    query runs to completion over the event file and the emitted
+    sessions are compared to the plain-SQL gap sessionization. The
+    operator's contract — a session is emitted exactly once, when its
+    closing gap is observed; each user's final session stays open — is
+    mirrored by the oracle's 'drop each user's last session' clause."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.streaming.windows import gap_sessionize_stateful
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    tdir = tempfile.mkdtemp(prefix="stateful_sessions_")
+    ev_dir = f"{tdir}/events"
+    import os as _os
+
+    _os.makedirs(ev_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{ev_dir}/events.parquet")
+    q = gap_sessionize_stateful(spark, ev_dir, f"{tdir}/ckpt", f"{tdir}/out", schema)
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{tdir}/out").select(
+        "user_id", "session_id", "events_in_session", "first_seq", "last_seq"
+    )
+
+
+@register(
     "cdc_mor_replay_final_state",
     f"""
     WITH tagged AS (

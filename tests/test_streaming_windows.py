@@ -1,0 +1,136 @@
+"""Event-time streaming surface: watermarked windowed aggregation and
+the applyInPandasWithState gap-sessionizer (state across micro-batches)."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from movex_cdc_spark.streaming.windows import (
+    SESSION_GAP_S,
+    gap_sessionize_stateful,
+    streaming_hourly_stats,
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stage_time_ordered(tmp_path, n_files=3, sf="0.001"):
+    """Events, globally time-sorted, split into consecutive
+    time-ordered files (the file stream then delivers per-key rows in
+    event-time order across triggers)."""
+    ev = pd.read_parquet(f"/root/testdata/sf{sf}/events.parquet").sort_values("ts")
+    d = str(tmp_path / "events")
+    os.makedirs(d, exist_ok=True)
+    step = (len(ev) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = ev.iloc[i * step:(i + 1) * step]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            os.path.join(d, f"ev-{i:03d}.parquet"),
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    return ev, d
+
+
+def test_streaming_hourly_stats_watermark(spark, tmp_path):
+    ev, d = _stage_time_ordered(tmp_path)
+    q = streaming_hourly_stats(
+        spark, d, str(tmp_path / "ckpt"), str(tmp_path / "out"),
+        EVENTS_SCHEMA, watermark="2 hours", window="1 hour",
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert len(got) > 0
+
+    # every emitted row must equal the batch aggregation for its window
+    ev2 = ev.copy()
+    ev2["window_start"] = ev2["ts"].dt.floor("h")
+    batch = (
+        ev2.groupby(["window_start", "event_type"])
+        .agg(events=("event_id", "size"), sum_value=("value", "sum"),
+             max_seq=("event_id", "max"))
+        .reset_index()
+    )
+    m = got.merge(batch, on=["window_start", "event_type"], suffixes=("_s", "_b"))
+    assert len(m) == len(got)
+    assert (m["events_s"] == m["events_b"]).all()
+    assert (m["max_seq_s"] == m["max_seq_b"]).all()
+    assert (m["sum_value_s"] - m["sum_value_b"]).abs().max() < 1e-6
+
+    # append mode: only windows the watermark closed are emitted — no
+    # window end may exceed the final watermark's upper bound
+    final_wm = ev["ts"].max() - pd.Timedelta("2 hours")
+    assert (got["window_start"] + pd.Timedelta("1 hour") <= final_wm + pd.Timedelta("1 hour")).all()
+    # windows closed well before the penultimate trigger are all present
+    early_cut = ev["ts"].quantile(0.6) - pd.Timedelta("3 hours")
+    expected_early = batch[batch["window_start"] + pd.Timedelta("1 hour") < early_cut]
+    missing = expected_early.merge(got, on=["window_start", "event_type"], how="left",
+                                   indicator=True)
+    assert (missing["_merge"] == "both").all()
+
+
+def test_gap_sessionize_stateful_across_batches(spark, tmp_path):
+    # sf0.01: 150 users whose events straddle many >1h gaps, so sessions
+    # close inside the stream (sf0.001 has one open session per user)
+    ev, d = _stage_time_ordered(tmp_path, sf="0.01")
+    q = gap_sessionize_stateful(
+        spark, d, str(tmp_path / "ckpt"), str(tmp_path / "out"), EVENTS_SCHEMA
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .toPandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+
+    # pandas mirror: ts-ordered gap sessionization; the engine emits a
+    # session only when its closing gap is SEEN, so each user's final
+    # (still-open) session is not in the output
+    rows = []
+    for uid, g in ev.sort_values("ts").groupby("user_id"):
+        ts = g["ts"].astype("datetime64[ns]").astype("int64") / 1e9
+        new = (ts.diff() > SESSION_GAP_S).cumsum()
+        for sid, s in g.groupby(new.values):
+            rows.append((uid, int(sid), len(s), int(s["event_id"].iloc[0]),
+                         int(s["event_id"].iloc[-1])))
+    mirror = pd.DataFrame(
+        rows, columns=["user_id", "session_id", "events_in_session",
+                       "first_seq", "last_seq"],
+    )
+    closed = mirror[
+        mirror.groupby("user_id")["session_id"].transform("max") != mirror["session_id"]
+    ].reset_index(drop=True)
+    assert len(got) == len(closed) > 0
+    merged = got.merge(closed, on=["user_id", "session_id"], suffixes=("_s", "_m"))
+    assert len(merged) == len(got)
+    for c in ("events_in_session", "first_seq", "last_seq"):
+        assert (merged[f"{c}_s"] == merged[f"{c}_m"]).all()
+
+    # multi-batch statefulness actually exercised: at least one emitted
+    # session must SPAN a file boundary (state carried across triggers)
+    file_maxes = []
+    for i in range(3):
+        f = pd.read_parquet(os.path.join(d, f"ev-{i:03d}.parquet"))
+        file_maxes.append(f["ts"].max())
+    spans = 0
+    per_file = pd.read_parquet(d)  # noqa: F841 (sanity: dir readable)
+    for _, r in got.iterrows():
+        t_first = ev.loc[ev["event_id"] == r["first_seq"], "ts"].iloc[0]
+        t_last = ev.loc[ev["event_id"] == r["last_seq"], "ts"].iloc[0]
+        if any(t_first <= fm < t_last for fm in file_maxes[:-1]):
+            spans += 1
+    assert spans > 0
