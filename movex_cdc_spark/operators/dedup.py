@@ -179,6 +179,82 @@ def minhash_lsh_pairs(
     return pairs_within_groups(grouped.select("ids")).distinct()
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Connected components over a candidate-pair graph — the dup-group
+    election stage after LSH blocking (pairs → clusters → keeper).
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round a node adopts the minimum label in its closed
+    neighborhood; stop when a round changes nothing. Rounds needed =
+    graph diameter — near-dup graphs are tiny star/clique clusters, so
+    this converges in 2-3 rounds; ``max_iter`` bounds pathological
+    chains. Each round is ONE shuffle (groupBy node) over the edge list;
+    labels are checkpointed to parquet-free persisted frames and the
+    convergence probe is a count on the CHANGED rows only (an
+    aggregate, not a collect of data).
+
+    Iterative-by-nature: this is the documented exception to the
+    no-driver-loop rule — the loop is over ROUNDS (log-diameter many),
+    never over rows.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.id == neigh_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("__changed"),
+            )
+        ).persist()
+        changed = new_labels.filter(F.col("__changed")).count()
+        old = labels
+        labels = new_labels.drop("__changed").persist()
+        labels.count()
+        old.unpersist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(ID_COL), F.col("label").alias("component"))
+
+
+def duplicate_groups_from_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Dup groups with keeper election: components → (component, size,
+    keeper = min id, members = sorted ids). The output is what a corpus
+    pruner consumes: keep ``keeper``, drop the rest."""
+    cc = connected_components(pairs, max_iter=max_iter)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(ID_COL).alias("keeper_id"),
+            F.sort_array(F.collect_list(ID_COL)).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .drop("component")
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = TEXT_COL, id_col: str = ID_COL) -> DataFrame:
     """64-bit SimHash: bit i (1..64) is the sign of the sum over distinct
     tokens of ±1 according to the high bit of hex digit i of

@@ -95,3 +95,42 @@ def fingerprint(df: DataFrame) -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col(TEXT_COL), " ")))), 256
         ).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the vocabulary/feature stage
+    of a text pipeline, as three narrow aggregations (no UDFs):
+
+      tf  — one shuffle on (doc, term)
+      df  — one shuffle on term (then broadcast back: the term
+             dictionary is tiny relative to the corpus)
+      N   — global doc count as a broadcast 1-row aggregate (the lazy
+             scalar pattern, no driver round-trip)
+
+    tfidf = tf * (ln((1+N)/(1+df)) + 1), smooth-idf. Ranking uses the
+    ROUNDED score (6 dp) with the term as tie-break so the order is
+    engine-independent (double ulps never decide a rank)."""
+    from pyspark.sql import Window
+
+    toks = df.select(ID_COL, F.explode(F.split(F.col(TEXT_COL), " ")).alias("term"))
+    tf = toks.groupBy(ID_COL, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.countDistinct(ID_COL).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df"))) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(ID_COL).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(ID_COL, "term", "tf", "df", "tfidf", "rk")
+    )

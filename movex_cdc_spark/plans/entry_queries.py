@@ -808,6 +808,53 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "dedup_duplicate_groups",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             [list_min([sha256(i::VARCHAR || '|' || s) for s in shingles]) for i in range(0, 8)] AS sig
+      FROM sh WHERE len(shingles) > 0),
+    bands AS (
+      SELECT doc_id, b AS band_idx, array_to_string(sig[b*2+1 : b*2+2], '') AS band_val
+      FROM sig, unnest(range(0, 4)) AS t(b)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT count(*) AS n_docs, min(id) AS keeper_id, list_sort(list(id)) AS members
+    FROM comp GROUP BY component HAVING count(*) > 1
+    """,
+)
+def dedup_duplicate_groups(spark, sf_dir):
+    """Dup-group election over the LSH candidate graph: MinHash pairs →
+    connected components (iterative min-label propagation, one shuffle
+    per round, rounds = cluster diameter) → per-component keeper (min
+    id) + member list. This is the stage that turns candidate PAIRS
+    into actionable DROP lists at corpus scale; the oracle reproduces
+    it with a recursive reachability CTE."""
+    from movex_cdc_spark.operators.dedup import (
+        duplicate_groups_from_pairs,
+        minhash_lsh_pairs,
+        with_shingles,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    nonempty = with_shingles(d, 3).filter(F.size("shingles") > 0).select("doc_id", "text")
+    pairs = minhash_lsh_pairs(nonempty, k=8, rows_per_band=2, n=3)
+    return duplicate_groups_from_pairs(pairs)
+
+
+@register(
     "dedup_simhash64_banded",
     """
     WITH t AS (
@@ -1045,6 +1092,33 @@ def text_token_counts(spark, sf_dir):
     from movex_cdc_spark.operators.textops import token_counts
 
     return token_counts(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * (ln((1 + n.n_docs) / (1.0 + dfreq.df)) + 1), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term), n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smooth idf; three narrow
+    aggregations, term dictionary broadcast back, global N as a lazy
+    broadcast scalar; rank on the rounded score so double ulps never
+    decide a rank)."""
+    from movex_cdc_spark.operators.textops import tfidf_top_terms
+
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
 
 
 @register(

@@ -6,6 +6,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from movex_cdc_spark.operators.dedup import (
+    connected_components,
+    duplicate_groups_from_pairs,
     ngram_jaccard_pairs,
     simhash64,
     simhash64_banded_pairs,
@@ -42,6 +44,26 @@ def test_hot_shingle_cap_bounds_pair_explosion(spark):
         .count()
     )
     assert found == 1
+
+
+def test_connected_components_and_keeper_election(spark):
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+            columns=["id_a", "id_b"],
+        )
+    )
+    cc = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc[1] == cc[2] == cc[3] == cc[4] == 1
+    assert cc[10] == cc[11] == cc[12] == 10
+    assert cc[20] == cc[21] == 20
+
+    groups = {r["keeper_id"]: r for r in duplicate_groups_from_pairs(pairs).collect()}
+    assert set(groups) == {1, 10, 20}
+    assert groups[1]["members"] == [1, 2, 3, 4] and groups[1]["n_docs"] == 4
+    assert groups[10]["members"] == [10, 11, 12]
+    assert groups[20]["members"] == [20, 21]
 
 
 def test_simhash64_banded_near_dups_and_bucket_cap(spark):
