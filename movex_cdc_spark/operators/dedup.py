@@ -205,33 +205,34 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint each round: persist alone caches DATA but the
+    # logical plan still unrolls (labels appears twice per round →
+    # exponential plan growth that stalls the optimizer long before the
+    # data is big). Checkpointing truncates lineage so every round's
+    # plan is one join over the previous round's materialization.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stamped = (
             labels.join(neigh_min, labels.id == neigh_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("__changed"),
             )
-        ).persist()
-        changed = new_labels.filter(F.col("__changed")).count()
-        old = labels
-        labels = new_labels.drop("__changed").persist()
-        labels.count()
-        old.unpersist()
-        new_labels.unpersist()
+            .localCheckpoint(eager=True)
+        )
+        changed = stamped.filter(F.col("__changed")).count()
+        labels = stamped.drop("__changed")
         if changed == 0:
             break
     edges.unpersist()

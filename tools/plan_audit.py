@@ -33,6 +33,7 @@ NESTED_LOOP_OK = {
     "ann_lsh_bucketed",
     "ann_random_projection_lsh",
     "cdc_retry_backoff_eligible",
+    "text_tfidf_top_terms",  # global-N broadcast 1-row scalar
 }
 
 
