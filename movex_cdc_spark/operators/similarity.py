@@ -162,3 +162,44 @@ def cosine_topk_lsh(
         .filter(F.col("rk") <= k)
         .select("q_id", F.col("n_id").alias("neighbor_id"), "cosine", "rk")
     )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    bits: int = 8,
+    dim: int = 64,
+    seed: str = "proj",
+    max_bucket_size: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: bucket by the
+    seeded random-projection sign pattern, generate candidate pairs
+    inside buckets (in-codegen pair explosion, no self-join), join the
+    vectors back by id, keep cosine >= threshold. The bucket groupBy is
+    the only corpus-wide shuffle; the vector join touches candidates
+    only. Recall: a true near-dup pair collides unless the perturbation
+    flips a projection sign — raise bands/lower bits per band for more
+    recall, exactly like the MinHash banding trade."""
+    from movex_cdc_spark.operators.dedup import pairs_within_groups
+
+    withb = with_norm(corpus).withColumn(
+        "bucket", random_projection_bucket(bits, dim, seed)
+    )
+    grouped = withb.groupBy("bucket").agg(
+        F.sort_array(F.collect_list(ID_COL)).alias("ids")
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    pairs = pairs_within_groups(grouped.filter(F.size("ids") >= 2).select("ids"))
+    a = withb.select(F.col(ID_COL).alias("id_a"), F.col(VEC_COL).alias("va"),
+                     F.col("norm").alias("na"))
+    b = withb.select(F.col(ID_COL).alias("id_b"), F.col(VEC_COL).alias("vb"),
+                     F.col("norm").alias("nb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

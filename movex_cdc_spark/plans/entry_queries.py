@@ -998,6 +998,60 @@ def ann_random_projection_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_embedding_cosine",
+    """
+    WITH pl AS (
+      SELECT [[ CAST((strpos('0123456789abcdef', substr(sha256('proj' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1))-1)*16.0
+              + (strpos('0123456789abcdef', substr(sha256('proj' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 2, 1))-1) - 127.5 AS DOUBLE)
+              for d in range(0, 64)] for p in range(0, 8)] AS ws),
+    uni AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             [(embedding::DOUBLE[])[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0 END
+              for i in range(1, 65)] AS v
+      FROM embeddings WHERE vec_id % 7 = 0),
+    nm AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce([x * x for x in v], (a, b) -> a + b)) AS norm
+      FROM uni),
+    b AS (
+      SELECT vec_id, v, norm,
+             array_to_string([CASE WHEN list_reduce([z[1]*z[2] for z in list_zip(v, w)], (a, b) -> a + b) >= 0
+                              THEN '1' ELSE '0' END for w in ws], '') AS bucket
+      FROM nm, pl),
+    pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_reduce([z[1] * z[2] for z in list_zip(a.v, c.v)], (x, y) -> x + y)
+                   / (a.norm * c.norm), 6) AS cosine
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup detection, LSH-blocked (the fifth dedup
+    family in the task list): perturbed copies of every 7th vector are
+    planted (the corpus has no natural near-dups — max in-bucket cosine
+    0.40), the random-projection buckets block the candidate space, and
+    pairs with cosine >= 0.99 survive. Bucketed groupBy + in-codegen
+    pair generation + candidate-only vector join — never all-pairs."""
+    from movex_cdc_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    dup = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> case when i = 0"
+            " then cast(x as double) + 0.05 else cast(x as double) end)"
+        ).alias("embedding"),
+    )
+    uni = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    ).unionByName(dup)
+    return embedding_near_dup_pairs(uni, threshold=0.99, bits=8, dim=64)
+
+
+@register(
     "embedding_stats_by_label",
     """
     WITH nm AS (
@@ -1451,6 +1505,63 @@ def cdc_mor_replay_final_state(spark, sf_dir):
         if i == 1:
             mor.compact()  # fold the first two epochs into the base
     return mor.read().select("repo", F.col("last_seq"), "content")
+
+
+@register(
+    "cdc_housekeeping_time_travel",
+    f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, {OP_CASE_SQL} AS op,
+             event_type || ':' || CAST(value AS VARCHAR) AS content
+      FROM events),
+    half AS (SELECT * FROM tagged WHERE event_id % 4 IN (0, 1)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM half)
+    SELECT CAST(user_id AS VARCHAR) AS repo, event_id AS last_seq, content
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_housekeeping_time_travel(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP snapshot housekeeping + time travel (ST8;
+    reference drops drained Event_Logs partitions, housekeeping.rb:45-107):
+    4 epochs merge; expire_snapshots keeps the last 3 versions and
+    physically removes files only the older snapshots referenced; the
+    TIME-TRAVEL read of version 2 (epochs 0-1 applied) must still
+    reconstruct exactly — the oracle is the LWW over the first two
+    epoch slices. Expiry must never break a retained snapshot."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.lake.table import LakeTable
+    from movex_cdc_spark.operators.lww import lww_dedup_maxby
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.col("event_id").alias("seq"),
+        F.expr(OP_CASE_SQL).alias("op"),
+        F.concat_ws(":", "event_type", F.col("value").cast("string")).alias("content"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    tdir = tempfile.mkdtemp(prefix="housekeeping_tt_")
+    table = LakeTable.create(spark, f"{tdir}/t", schema, ["repo", "path"], n_buckets=8)
+    for i in range(4):
+        batch = lww_dedup_maxby(
+            ev.filter(F.pmod(F.col("seq"), F.lit(4)) == i), ["repo", "path"]
+        )
+        table.merge(batch, seq_col="seq", op_col="op", epoch_id=i)
+    removed = table.expire_snapshots(keep_last=3)
+    assert removed >= 0  # versions 0-1's exclusive files are gone
+    # time travel to version 2 = state after epochs 0 and 1
+    return table.read(version=2).select("repo", F.col("last_seq"), "content")
 
 
 @register(
