@@ -36,6 +36,11 @@ from movex_cdc_spark.streaming.lineage import MetricsTable
 
 
 class CdcStreamPipeline:
+    """``table`` is any LakeTable-compatible sink — the eager COW
+    LakeTable or a lake.mor.MergeOnReadTable (delta-append epochs +
+    amortized compaction; right choice when triggers are small and
+    frequent relative to the table)."""
+
     def __init__(
         self,
         spark: SparkSession,

@@ -111,6 +111,35 @@ def test_mor_epoch_fence_and_crash_window(spark, tmp_path):
     assert _state(mor) == before
 
 
+def test_streaming_pipeline_through_mor(spark, tmp_path):
+    """The checkpointed streaming shell drives a MergeOnReadTable sink:
+    delta appends per micro-batch, auto-compaction mid-stream, correct
+    final state vs the pandas replay oracle."""
+    from movex_cdc_spark.sources.events import write_event_files
+    from movex_cdc_spark.streaming.pipeline import CdcStreamPipeline
+
+    ev = generate_events(GenParams(n_events=3000, seed=43))
+    write_event_files(ev, str(tmp_path / "events"), n_files=4)
+    base = LakeTable.create(spark, str(tmp_path / "base"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4)
+    mor = MergeOnReadTable(base, str(tmp_path / "delta"), compact_rows=1200)
+    pipe = CdcStreamPipeline(
+        spark,
+        mor,
+        events_dir=str(tmp_path / "events"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dead_letter_dir=str(tmp_path / "dl"),
+        max_files_per_trigger=1,
+    )
+    epochs = pipe.run_available_now()
+    assert any("compaction" in e for e in epochs)  # threshold crossed mid-stream
+    final = mor.read().select("repo", "path", "content_sha").toPandas()
+    oracle = replay_oracle(ev.iloc[0:0][["repo", "path", "commit", "lang", "content"]], ev)
+    m = final.merge(oracle[["repo", "path", "content_sha"]], on=["repo", "path"],
+                    how="outer", indicator=True, suffixes=("_e", "_o"))
+    assert (m["_merge"] == "both").all()
+    assert (m["content_sha_e"] == m["content_sha_o"]).all()
+
+
 def test_apply_batch_through_mor(spark, tmp_path):
     ev = generate_events(GenParams(n_events=1500, seed=41))
     base = LakeTable.create(spark, str(tmp_path / "base"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4)
