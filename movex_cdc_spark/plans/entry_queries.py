@@ -1176,6 +1176,63 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "pipeline_clean_corpus",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    lang AS (
+      SELECT doc_id,
+             round(len(list_filter(toks, tk -> lower(tk) IN
+               ('the','a','an','of','and','to','in','is','on','for',
+                'with','at','by','from','as','it','that','this','be','or')))
+               / greatest(len(toks), 1), 6) AS sw_ratio
+      FROM t),
+    q AS (
+      SELECT doc_id,
+             round(least(len(toks) / 100.0, 1.0) * 0.5
+                   + (1 - least(round((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                                / greatest(length(text), 1), 6) * 5, 1.0)) * 0.25
+                   + (1 - least(round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                                / greatest(length(text), 1), 6) * 5, 1.0)) * 0.25, 6) AS quality
+      FROM t),
+    dup AS (
+      SELECT sha256(text) AS sha, min(doc_id) AS keeper FROM documents GROUP BY 1)
+    SELECT d.doc_id,
+           lang.sw_ratio, q.quality
+    FROM documents d
+    JOIN lang USING (doc_id) JOIN q USING (doc_id)
+    JOIN dup ON sha256(d.text) = dup.sha AND d.doc_id = dup.keeper
+    WHERE lang.sw_ratio >= 0.08 AND q.quality >= 0.5
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """CAPSTONE composition — the training-data cleaning pipeline as one
+    plan: language ID (keep 'en'), quality score (keep >= 0.5), exact
+    dedup keeper election (keep min doc_id per content sha). Each stage
+    is the REAL operator; Catalyst fuses the three filters over a single
+    documents scan plus one dedup shuffle."""
+    from movex_cdc_spark.operators.dedup import TEXT_COL
+    from movex_cdc_spark.operators.textops import language_id, quality_score
+
+    d = load(spark, sf_dir, "documents")
+    lang = language_id(d).select("doc_id", "sw_ratio", "pred_lang")
+    qual = quality_score(d).select("doc_id", "quality")
+    keepers = (
+        d.withColumn("sha", F.sha2(F.col(TEXT_COL), 256))
+        .groupBy("sha")
+        .agg(F.min("doc_id").alias("keeper"))
+        .select(F.col("keeper").alias("doc_id"))
+    )
+    return (
+        d.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(keepers, "doc_id")  # semi-ish: keepers has unique doc_id
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
+        .select("doc_id", "sw_ratio", "quality")
+    )
+
+
+@register(
     "text_fingerprint",
     """
     SELECT doc_id,
