@@ -404,6 +404,20 @@ class LakeTable:
             raise
         return lineage
 
+    def merge_with_retry(self, batch: DataFrame, max_attempts: int = 3, **kw) -> dict[str, Any]:
+        """Optimistic-concurrency merge: on CommitConflict (another
+        writer took this version) re-read the metadata and re-merge —
+        the staged snapshot of the losing attempt is already cleaned up
+        by merge(), and the epoch fence still deduplicates if the other
+        writer committed the SAME epoch. Iceberg's commit-retry loop."""
+        last: Exception | None = None
+        for _ in range(max_attempts):
+            try:
+                return self.merge(batch, **kw)
+            except CommitConflict as e:
+                last = e
+        raise last
+
     # ------------------------------------------------------ overwrite
     def overwrite(self, df: DataFrame, seq_value: int = 0) -> None:
         """Bulk load (initial snapshot bootstrap, reference S8:

@@ -108,3 +108,39 @@ def test_empty_and_null_key_batch(spark, tmp_lake):
     t.merge(_batch(spark, [(2, None, "p", "c", "py", "y", "U")]), epoch_id=2)
     rows = t.read().collect()
     assert len(rows) == 1 and rows[0]["content"] == "y"
+
+
+def test_merge_with_retry_on_commit_conflict(spark, tmp_path):
+    """A racing writer steals the version between plan and commit; the
+    optimistic retry re-reads metadata and lands on the next version."""
+    import pandas as pd
+    from movex_cdc_spark.lake.table import CommitConflict, LakeTable
+    from movex_cdc_spark.operators.apply import KEY_COLS, REPO_FILES_SCHEMA
+
+    t = LakeTable.create(spark, str(tmp_path / "lake"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=2)
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "r", "p", "c", "py", "v1", "I")],
+            columns=["seq", "repo", "path", "commit", "lang", "content", "op"],
+        )
+    )
+    # steal version 1 right before the real writer's first commit
+    real_write = LakeTable._write_version
+    stolen = {"done": False}
+
+    def stealing_write(self, meta):
+        if not stolen["done"] and meta["version"] == 1 and meta.get("buckets"):
+            stolen["done"] = True
+            m = dict(self.meta())
+            m["version"] = 1
+            m["parent"] = 0
+            real_write(self, m)  # the "other writer" commits v1 first
+        return real_write(self, meta)
+
+    LakeTable._write_version = stealing_write
+    try:
+        lin = t.merge_with_retry(batch, seq_col="seq", op_col="op", epoch_id=0)
+    finally:
+        LakeTable._write_version = real_write
+    assert lin["version"] == 2  # retried onto the next version
+    assert t.read().count() == 1
