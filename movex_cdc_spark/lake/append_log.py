@@ -95,6 +95,40 @@ class UnkeyedEventLog:
             "files_added": len(files),
         }
 
+    # -------------------------------------------------------- compact
+    def compact_segments(self, target_files: int = 4) -> dict[str, Any]:
+        """Small-files housekeeping (the sink-side ST8): a long-running
+        stream appends one segment per epoch; rewrite them into
+        ``target_files`` files and swap the listing in one atomic
+        commit. Epoch fences are preserved; readers only ever see the
+        old or the new listing. Safe to run while appends are fenced
+        (single-writer per stream, like the merge path)."""
+        m = self.meta()
+        if len(m["files"]) <= target_files:
+            return {"skipped": True, "files": len(m["files"])}
+        new_version = m["version"] + 1
+        seg_rel = f"seg-{new_version}"
+        seg_dir = os.path.join(self.path, seg_rel)
+        self.read().coalesce(target_files).write.parquet(seg_dir, mode="errorifexists")
+        files = [
+            os.path.join(seg_rel, f)
+            for f in sorted(os.listdir(seg_dir))
+            if f.endswith(".parquet")
+        ]
+        old_files = m["files"]
+        m2 = dict(m)
+        m2["version"] = new_version
+        m2["files"] = files
+        self._write_version(m2)
+        # old segments are unreferenced now; remove them physically
+        import shutil as _shutil
+
+        old_dirs = {os.path.dirname(f) for f in old_files}
+        for d in old_dirs:
+            _shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        return {"version": new_version, "files_before": len(old_files),
+                "files_after": len(files)}
+
     # ----------------------------------------------------------- read
     def read(self) -> DataFrame:
         m = self.meta()

@@ -223,3 +223,26 @@ def test_mixed_keyed_and_unkeyed_streams(spark, tmp_path):
     winners = valid.sort_values("seq").groupby(["repo", "path"], as_index=False).last()
     assert t.read().count() == len(winners[winners["op"] != "D"])
     assert log.read().count() == len(valid)
+
+
+def test_unkeyed_log_segment_compaction(spark, tmp_path):
+    """Small-files housekeeping on the append log: many per-epoch
+    segments rewritten into few files, same rows, fences preserved."""
+    ev = generate_events(GenParams(n_events=600, seed=47, p_poison=0.0, p_filtered=0.0))
+    df = spark.createDataFrame(ev.drop(columns=["is_noop"]))
+    log = UnkeyedEventLog.create(spark, str(tmp_path / "ulog"))
+    cfg = repo_files_config().tables["repo_files"]
+    cfg.key_handling = "N"
+    for i in range(8):
+        apply_batch_unkeyed(log, df.filter(F.pmod(F.col("seq"), F.lit(8)) == i),
+                            epoch_id=i, table_cfg=cfg)
+    n_before = log.read().count()
+    assert len(log.meta()["files"]) >= 8
+    r = log.compact_segments(target_files=2)
+    assert r["files_after"] <= 2
+    assert log.read().count() == n_before
+    # fences survive compaction: replaying an old epoch is still a no-op
+    rep = apply_batch_unkeyed(log, df.filter(F.pmod(F.col("seq"), F.lit(8)) == 3),
+                              epoch_id=3, table_cfg=cfg)
+    assert rep.get("skipped")
+    assert log.read().count() == n_before
