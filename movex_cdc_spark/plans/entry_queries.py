@@ -778,10 +778,11 @@ def dedup_simhash(spark, sf_dir):
     h AS (SELECT media_id, kind, CAST(length(payload_hex) / 2 AS BIGINT) AS n_bytes,
                  sha256(payload_hex) AS hex FROM m)
     SELECT media_id, kind, n_bytes,
-      [CAST(list_sum([ (strpos('0123456789abcdef', substr(hex, 2*(j*4+b)+1, 1))-1)*16
-                     + (strpos('0123456789abcdef', substr(hex, 2*(j*4+b)+2, 1))-1)
-                     for b in range(0,4)]) AS BIGINT)
-       for j in range(0,8)] AS feature_checksum
+      array_to_string(
+        [CAST(list_sum([ (strpos('0123456789abcdef', substr(hex, 2*(j*4+b)+1, 1))-1)*16
+                       + (strpos('0123456789abcdef', substr(hex, 2*(j*4+b)+2, 1))-1)
+                       for b in range(0,4)]) AS BIGINT)
+         for j in range(0,8)], ',') AS feature_checksum
     FROM h
     """,
 )
@@ -791,8 +792,10 @@ def multimodal_features(spark, sf_dir):
     extract_features) runs over the deterministic synthetic media table;
     the fake codec derives the feature from sha256 of the payload hex,
     which the SQL oracle reproduces byte-for-byte. The float32 feature
-    is reduced to its exact integer byte-group checksum (round(f*255))
-    so no float-representation noise enters the hash."""
+    is reduced to its exact integer byte-group checksum (round(f*255)),
+    SERIALIZED to a comma-joined string: the driver's canonicalizer
+    sorts scalar columns only (round-2 lesson — ARRAY cells crash its
+    pandas sort), so both engines emit one flat string."""
     from movex_cdc_spark.operators.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, n=64)
@@ -801,9 +804,10 @@ def multimodal_features(spark, sf_dir):
         "media_id",
         "kind",
         F.col("n_bytes").cast("long").alias("n_bytes"),
-        F.expr("transform(feature, f -> cast(round(f * 255, 0) as bigint))").alias(
-            "feature_checksum"
-        ),
+        F.expr(
+            "concat_ws(',', transform(feature,"
+            " f -> cast(cast(round(f * 255, 0) as bigint) as string)))"
+        ).alias("feature_checksum"),
     )
 
 
@@ -831,7 +835,8 @@ def multimodal_features(spark, sf_dir):
       UNION
       SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id),
     comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-    SELECT count(*) AS n_docs, min(id) AS keeper_id, list_sort(list(id)) AS members
+    SELECT count(*) AS n_docs, min(id) AS keeper_id,
+           array_to_string(list_sort(list(id)), ',') AS members
     FROM comp GROUP BY component HAVING count(*) > 1
     """,
 )
@@ -841,7 +846,9 @@ def dedup_duplicate_groups(spark, sf_dir):
     per round, rounds = cluster diameter) → per-component keeper (min
     id) + member list. This is the stage that turns candidate PAIRS
     into actionable DROP lists at corpus scale; the oracle reproduces
-    it with a recursive reachability CTE."""
+    it with a recursive reachability CTE. The member list crosses the
+    driver boundary as a comma-joined string (its canonicalizer sorts
+    scalar columns only — ARRAY cells crash its pandas sort)."""
     from movex_cdc_spark.operators.dedup import (
         duplicate_groups_from_pairs,
         minhash_lsh_pairs,
@@ -851,7 +858,9 @@ def dedup_duplicate_groups(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     nonempty = with_shingles(d, 3).filter(F.size("shingles") > 0).select("doc_id", "text")
     pairs = minhash_lsh_pairs(nonempty, k=8, rows_per_band=2, n=3)
-    return duplicate_groups_from_pairs(pairs)
+    return duplicate_groups_from_pairs(pairs).withColumn(
+        "members", F.concat_ws(",", F.expr("transform(members, x -> cast(x as string))"))
+    )
 
 
 @register(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +33,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_S = 3600
+SESSION_GAP_US = SESSION_GAP_S * 1_000_000
 
 SESSION_OUTPUT = T.StructType(
     [
@@ -46,7 +48,7 @@ SESSION_OUTPUT = T.StructType(
 SESSION_STATE = T.StructType(
     [
         T.StructField("session_id", T.LongType()),
-        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
         T.StructField("n", T.LongType()),
         T.StructField("first_seq", T.LongType()),
         T.StructField("last_seq", T.LongType()),
@@ -94,35 +96,74 @@ def _sessionize_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-user gap sessionizer. State carries the OPEN session across
-    micro-batches; closed sessions are emitted exactly once."""
+    micro-batches; closed sessions are emitted exactly once.
+
+    All per-row work is vectorized numpy over the Arrow batch: one
+    global sort by (ts, event_id) — the same total order the SQL
+    sessionizer uses, so equal timestamps break ties identically —
+    then a diff/flatnonzero pass that finds session boundaries; the
+    Python loop below runs once per SESSION in the batch, never per
+    row. Gaps compare integer MICROSECONDS (Spark's native timestamp
+    resolution), not float seconds, so a gap of exactly the threshold
+    can never flip on float rounding."""
     (user_id,) = key
     if state.exists:
-        session_id, last_ts, n, first_seq, last_seq = state.get
+        session_id, last_ts_us, n, first_seq, last_seq = state.get
     else:
-        session_id, last_ts, n, first_seq, last_seq = 0, None, 0, None, None
-    out: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        # normalize whatever Arrow delivered (datetime64[ns]/[us] or
-        # int64 ns) to float epoch-seconds, vectorized — pandas 2 keeps
-        # microsecond resolution, where astype(int64) yields MICROS
-        ts_seconds = (
-            pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64") / 1e9
+        session_id, last_ts_us, n, first_seq, last_seq = 0, None, 0, None, None
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        if state.exists:
+            state.update((session_id, last_ts_us, n, first_seq, last_seq))
+        return
+    # Arrow may deliver the group as SEVERAL chunks; rows of one user
+    # can span them, so the sort must be global over the whole batch.
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+    # pandas 2 keeps Arrow's microsecond resolution, where astype(int64)
+    # yields MICROS — normalize to [ns] first, then integer-divide.
+    ts_us = (
+        pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64") // 1000
+    ).to_numpy()
+    seq = pdf["event_id"].astype("int64").to_numpy()
+    if last_ts_us is not None and int(ts_us[0]) < int(last_ts_us):
+        # Cross-batch ordering contract, asserted loud: each batch must
+        # start at-or-after the carried open session's last event. A
+        # file-layout change that breaks time ordering fails here
+        # instead of silently mis-sessionizing.
+        raise ValueError(
+            f"gap_sessionize_stateful: out-of-order batch for user {user_id}: "
+            f"batch min ts {int(ts_us[0])}us < carried last ts {int(last_ts_us)}us"
         )
-        for ts_s, seq in zip(ts_seconds, pdf["event_id"]):
-            if last_ts is not None and ts_s - last_ts > SESSION_GAP_S:
-                out.append((user_id, session_id, n, first_seq, last_seq))
-                session_id, n, first_seq = session_id + 1, 0, None
+    starts_new = np.empty(len(ts_us), dtype=bool)
+    starts_new[0] = False
+    np.greater(ts_us[1:] - ts_us[:-1], SESSION_GAP_US, out=starts_new[1:])
+    bounds = np.unique(np.concatenate((np.flatnonzero(starts_new), [0, len(ts_us)])))
+    out_rows: list[tuple] = []
+    if last_ts_us is not None and int(ts_us[0]) - int(last_ts_us) > SESSION_GAP_US:
+        # the carried open session closes on the batch's first row
+        out_rows.append((user_id, session_id, n, first_seq, last_seq))
+        session_id, n, first_seq = session_id + 1, 0, None
+    n_runs = len(bounds) - 1
+    for i in range(n_runs):  # one iteration per session, not per row
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if i == 0:
+            n += hi - lo
             if first_seq is None:
-                first_seq = int(seq)
-            n += 1
-            last_seq = int(seq)
-            last_ts = ts_s
-    state.update((session_id, last_ts, n, first_seq, last_seq))
-    if out:
+                first_seq = int(seq[lo])
+        else:
+            session_id += 1
+            n = hi - lo
+            first_seq = int(seq[lo])
+        last_seq = int(seq[hi - 1])
+        last_ts_us = int(ts_us[hi - 1])
+        if i < n_runs - 1:
+            out_rows.append((user_id, session_id, n, first_seq, last_seq))
+    state.update((int(session_id), int(last_ts_us), int(n), int(first_seq), int(last_seq)))
+    if out_rows:
         yield pd.DataFrame(
-            out, columns=["user_id", "session_id", "events_in_session",
-                          "first_seq", "last_seq"]
+            out_rows, columns=["user_id", "session_id", "events_in_session",
+                               "first_seq", "last_seq"]
         )
 
 
@@ -132,14 +173,21 @@ def gap_sessionize_stateful(
     checkpoint_dir: str,
     out_dir: str,
     schema: T.StructType,
+    max_files_per_trigger: int | None = None,
 ):
     """Custom stateful streaming operator: per-key session state via
     applyInPandasWithState, checkpointed across micro-batches. Events
-    must arrive per key in event-time order across batches (guaranteed
-    here by the file stream's offset order over time-ordered files —
-    the same relaxed contract the reference's per-key worker affinity
-    provides)."""
-    ev = spark.readStream.schema(schema).parquet(events_dir)
+    must arrive per key in event-time order ACROSS batches (within a
+    batch any order is fine — the hook sorts globally). The file
+    stream's offset order over time-ordered files provides this — the
+    same relaxed contract the reference's per-key worker affinity
+    gives — and the hook ASSERTS it per batch: a layout change that
+    delivers a batch older than the carried state fails loud instead
+    of silently mis-sessionizing."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(events_dir)
     sessions = ev.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=SESSION_OUTPUT,

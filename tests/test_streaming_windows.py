@@ -97,13 +97,14 @@ def test_gap_sessionize_stateful_across_batches(spark, tmp_path):
         .reset_index(drop=True)
     )
 
-    # pandas mirror: ts-ordered gap sessionization; the engine emits a
-    # session only when its closing gap is SEEN, so each user's final
-    # (still-open) session is not in the output
+    # pandas mirror: (ts, event_id)-ordered gap sessionization over
+    # integer microseconds (the engine's exact total order + precision);
+    # the engine emits a session only when its closing gap is SEEN, so
+    # each user's final (still-open) session is not in the output
     rows = []
-    for uid, g in ev.sort_values("ts").groupby("user_id"):
-        ts = g["ts"].astype("datetime64[ns]").astype("int64") / 1e9
-        new = (ts.diff() > SESSION_GAP_S).cumsum()
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ts = g["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        new = (ts.diff() > SESSION_GAP_S * 1_000_000).cumsum()
         for sid, s in g.groupby(new.values):
             rows.append((uid, int(sid), len(s), int(s["event_id"].iloc[0]),
                          int(s["event_id"].iloc[-1])))
@@ -134,3 +135,84 @@ def test_gap_sessionize_stateful_across_batches(spark, tmp_path):
         if any(t_first <= fm < t_last for fm in file_maxes[:-1]):
             spans += 1
     assert spans > 0
+
+
+def _write_events(pdf, path):
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), path,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+
+
+def test_gap_sessionize_ties_and_multichunk(spark, tmp_path):
+    # one user, 50 sessions x 60 events; every 3 consecutive events share
+    # a timestamp (ties) and event ids are scrambled vs time, with the
+    # FILE rows ordered by id (not time) and Arrow forced to deliver the
+    # group as many small chunks: only a global (ts, event_id) sort over
+    # the concatenated chunks sessionizes this correctly.
+    n_sessions, per = 50, 60
+    n = n_sessions * per
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for s in range(n_sessions):
+        for j in range(per):
+            i = s * per + j
+            rows.append((
+                (i * 7) % n,  # gcd(7, 3000) = 1 -> unique scrambled ids
+                base + pd.Timedelta(hours=2 * s, seconds=10 * (j // 3)),
+                1, "tick", float(i), "{}",
+            ))
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).sort_values("event_id").reset_index(drop=True)
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    _write_events(ev, os.path.join(d, "ev-000.parquet"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    try:
+        q = gap_sessionize_stateful(
+            spark, d, str(tmp_path / "ckpt"), str(tmp_path / "out"), EVENTS_SCHEMA
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .toPandas().sort_values("session_id").reset_index(drop=True)
+    )
+    assert len(got) == n_sessions - 1  # last session stays open
+    assert (got["events_in_session"] == per).all()
+    # tie-break contract: first_seq = MIN id inside the session's first
+    # tied-timestamp triplet, last_seq = MAX id inside its last triplet
+    for s in range(n_sessions - 1):
+        first_ids = [((s * per + j) * 7) % n for j in range(3)]
+        last_ids = [((s * per + j) * 7) % n for j in (per - 3, per - 2, per - 1)]
+        row = got[got["session_id"] == s].iloc[0]
+        assert row["first_seq"] == min(first_ids)
+        assert row["last_seq"] == max(last_ids)
+
+
+def test_gap_sessionize_rejects_out_of_order_batches(spark, tmp_path):
+    # file with LATER events gets the older mtime -> the file stream
+    # delivers it first, so batch 2 violates the cross-batch ordering
+    # contract and the hook must fail LOUD, not mis-sessionize.
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet").sort_values("ts")
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    half = len(ev) // 2
+    _write_events(ev.iloc[half:], os.path.join(d, "ev-000-late.parquet"))
+    _write_events(ev.iloc[:half], os.path.join(d, "ev-001-early.parquet"))
+    now = os.stat(os.path.join(d, "ev-001-early.parquet")).st_mtime
+    os.utime(os.path.join(d, "ev-000-late.parquet"), (now - 100, now - 100))
+
+    import pytest
+
+    q = gap_sessionize_stateful(
+        spark, d, str(tmp_path / "ckpt"), str(tmp_path / "out"), EVENTS_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    with pytest.raises(Exception, match="out-of-order batch"):
+        q.awaitTermination(300)

@@ -31,13 +31,26 @@ def _norm_cell(v):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.9g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        # the DRIVER's canonicalizer sort_values() crashes on unhashable
+        # list cells — registered queries must return scalar columns
+        # only, so the local gate fails the same way (round-2 lesson:
+        # normalizing lists here masked two driver-red rows)
+        raise TypeError("array-valued cell: driver canon would crash (return scalars only)")
     if isinstance(v, pd.Timestamp):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def _has_array_cells(df: pd.DataFrame) -> bool:
+    if len(df) == 0:
+        return False
+    return any(
+        isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+        for v in df.iloc[0]
+    )
 
 
 def value_hash(df: pd.DataFrame) -> str:
@@ -84,6 +97,8 @@ def main(names: list[str] | None = None) -> int:
             problems.append(f"rows {len(spdf)} != {len(opdf)}")
         if sorted(spdf.columns) != sorted(opdf.columns):
             problems.append(f"cols {sorted(spdf.columns)} != {sorted(opdf.columns)}")
+        elif _has_array_cells(spdf) or _has_array_cells(opdf):
+            problems.append("array-valued column (driver canon crashes on lists)")
         elif value_hash(spdf) != value_hash(opdf):
             problems.append("value hash mismatch")
             s = spdf[sorted(spdf.columns)].astype(str).sort_values(list(sorted(spdf.columns))).reset_index(drop=True)
