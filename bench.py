@@ -54,7 +54,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
-    "text_quality_score",
+    "text_analysis_battery",
 ]
 
 # CDC apply sizing: 4M events in 4 epochs x 8 files each. Files are

@@ -10,9 +10,9 @@ Four families, all shuffle-conscious:
     docs sharing a band bucket become candidate pairs. The signature
     is computed with array expressions (transform/array_min), entirely
     JVM-side; at 10^10 docs the band-bucket join is the only shuffle.
-  * SimHash      — 16-bit sign-aggregated fingerprint from token
-    hashes; near-dups collide on the fingerprint (grouping, not
-    pairwise compare).
+  * SimHash      — 64-bit sign-aggregated fingerprint from token
+    hashes, banded for near-dup candidate pairs (Hamming-ball
+    banding); never an all-pairs compare.
 
 All hash primitives are sha256-based so the DuckDB oracle can
 reproduce them bit-for-bit; a production deployment would swap
@@ -330,19 +330,3 @@ def simhash64_banded_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands_equal"))
     )
-
-
-def simhash16(df: DataFrame, text_col: str = TEXT_COL, id_col: str = ID_COL) -> DataFrame:
-    """16-bit SimHash: bit i is the sign of sum over distinct tokens of
-    +/-1 according to the high bit of hex digit i of sha256(token).
-    Near-duplicate texts (mostly-shared token sets) collide."""
-    toks = df.withColumn("toks", F.array_distinct(F.split(F.col(text_col), " ")))
-    return toks.withColumn(
-        "simhash",
-        F.expr(
-            "concat_ws('', transform(sequence(1, 16), i -> "
-            "  case when aggregate(toks, 0, (acc, t) -> acc + "
-            "    (case when substring(sha2(t, 256), i, 1) in ('8','9','a','b','c','d','e','f')"
-            "          then 1 else -1 end)) >= 0 then '1' else '0' end))"
-        ),
-    ).select(id_col, "simhash")

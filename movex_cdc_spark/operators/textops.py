@@ -17,32 +17,26 @@ ID_COL = "doc_id"
 TEXT_COL = "text"
 
 
-def language_id(df: DataFrame, threshold: float = 0.08) -> DataFrame:
-    """n-gram/stopword heuristic language ID: English stopword ratio
-    over whitespace tokens; >= threshold -> 'en', else 'other'."""
+def text_analysis(df: DataFrame, threshold: float = 0.08) -> DataFrame:
+    """ALL per-document text metrics in one projection over one scan —
+    language ID (stopword-ratio heuristic), quality heuristics
+    (length / punctuation density / digit density / mean token length
+    + composite score), token counts (whitespace + BPE-ish regex
+    proxy), and the order-insensitive bag-of-tokens fingerprint.
+
+    One `split` feeds every metric; Catalyst keeps the whole thing in
+    a single whole-stage-codegen projection, so a 100-TB corpus pays
+    ONE scan for the full battery instead of four. The narrower
+    operators below are thin column slices of this frame."""
     sw = ",".join(f"'{w}'" for w in STOPWORDS)
     toks = df.withColumn("toks", F.split(F.col(TEXT_COL), " "))
-    scored = toks.withColumn(
-        "sw_ratio",
+    m = toks.select(
+        ID_COL,
         F.round(
             F.expr(f"size(filter(toks, t -> lower(t) in ({sw})))")
             / F.greatest(F.size("toks"), F.lit(1)),
             6,
-        ),
-    )
-    return scored.select(
-        ID_COL,
-        "sw_ratio",
-        F.when(F.col("sw_ratio") >= threshold, "en").otherwise("other").alias("pred_lang"),
-    )
-
-
-def quality_score(df: DataFrame) -> DataFrame:
-    """Quality heuristics: length, token stats, punctuation density,
-    digit density, mean token length; composite score in [0,1]."""
-    toks = df.withColumn("toks", F.split(F.col(TEXT_COL), " "))
-    m = toks.select(
-        ID_COL,
+        ).alias("sw_ratio"),
         F.length(TEXT_COL).alias("n_chars"),
         F.size("toks").alias("n_tokens"),
         F.round(
@@ -60,28 +54,48 @@ def quality_score(df: DataFrame) -> DataFrame:
             / F.greatest(F.size("toks"), F.lit(1)),
             6,
         ).alias("mean_tok_len"),
+        F.size(F.expr(f"regexp_extract_all({TEXT_COL}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.sha2(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("toks")))), 256
+        ).alias("fingerprint"),
     )
-    return m.withColumn(
-        "quality",
+    return m.select(
+        "*",
+        F.when(F.col("sw_ratio") >= threshold, "en").otherwise("other").alias("pred_lang"),
         F.round(
             F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
             + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.25
             + (1 - F.least(F.col("digit_ratio") * 5, F.lit(1.0))) * 0.25,
             6,
-        ),
+        ).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, threshold: float = 0.08) -> DataFrame:
+    """n-gram/stopword heuristic language ID: English stopword ratio
+    over whitespace tokens; >= threshold -> 'en', else 'other'."""
+    return text_analysis(df, threshold).select(ID_COL, "sw_ratio", "pred_lang")
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Quality heuristics: length, token stats, punctuation density,
+    digit density, mean token length; composite score in [0,1]."""
+    return text_analysis(df).select(
+        ID_COL, "n_chars", "n_tokens", "punct_ratio", "digit_ratio",
+        "mean_tok_len", "quality",
     )
 
 
 def token_counts(df: DataFrame) -> DataFrame:
     """Whitespace tokens plus a BPE-ish subword proxy: runs of letters,
     runs of digits, and single punctuation marks each count as one."""
-    return df.select(
+    return text_analysis(df).select(
         ID_COL,
-        F.size(F.split(F.col(TEXT_COL), " ")).alias("ws_tokens"),
-        F.size(F.expr(f"regexp_extract_all({TEXT_COL}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).alias(
-            "bpe_ish_tokens"
-        ),
-        F.length(TEXT_COL).alias("n_chars"),
+        F.col("n_tokens").alias("ws_tokens"),
+        "bpe_ish_tokens",
+        "n_chars",
     )
 
 
@@ -89,12 +103,7 @@ def fingerprint(df: DataFrame) -> DataFrame:
     """Order-insensitive document fingerprint: sha256 of the sorted
     distinct token bag — robust to token reordering, the cheap analog
     of a rolling-hash winnowing fingerprint."""
-    return df.select(
-        ID_COL,
-        F.sha2(
-            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col(TEXT_COL), " ")))), 256
-        ).alias("fingerprint"),
-    )
+    return text_analysis(df).select(ID_COL, "fingerprint")
 
 
 def tfidf_top_terms(df: DataFrame, k: int = 3) -> DataFrame:

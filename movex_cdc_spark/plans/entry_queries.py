@@ -299,39 +299,6 @@ def cdc_keyed_slice(spark, sf_dir):
     )
 
 
-# --------------------------------------------- P7: message envelope assembly
-@register(
-    "cdc_envelope",
-    f"""
-    SELECT event_id AS id,
-           'public' AS schema_name,
-           'events' AS table_name,
-           CASE {OP_CASE_SQL} WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END AS operation,
-           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
-           CAST(user_id AS VARCHAR) AS msg_key,
-           (event_id // 100) AS transaction_id
-    FROM events WHERE event_id < 500
-    """,
-)
-def cdc_envelope(spark, sf_dir):
-    """Message envelope assembly (SURVEY P7; reference
-    transfer_thread.rb:493-536: {id, schema, tablename, operation-long,
-    timestamp-ISO, transaction_id} + key handling table.rb:67-85)."""
-    ev = _with_op(load(spark, sf_dir, "events")).filter(F.col("event_id") < 500)
-    return ev.select(
-        F.col("event_id").alias("id"),
-        F.lit("public").alias("schema_name"),
-        F.lit("events").alias("table_name"),
-        F.when(F.col("op") == "I", "INSERT")
-        .when(F.col("op") == "U", "UPDATE")
-        .otherwise("DELETE")
-        .alias("operation"),
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
-        F.col("user_id").cast("string").alias("msg_key"),
-        (F.col("event_id") / 100).cast("long").alias("transaction_id"),
-    )
-
-
 # ------------------------------------------- W2: per-key ordering invariant
 @register(
     "cdc_per_key_order_stats",
@@ -748,26 +715,6 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
-    "dedup_simhash",
-    """
-    WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
-    SELECT doc_id,
-           array_to_string([CASE WHEN list_sum(
-               [CASE WHEN substr(sha256(tok), i, 1) IN ('8','9','a','b','c','d','e','f')
-                     THEN 1 ELSE -1 END for tok in toks]) >= 0 THEN '1' ELSE '0' END
-             for i in range(1, 17)], '') AS simhash
-    FROM t
-    """,
-)
-def dedup_simhash(spark, sf_dir):
-    """16-bit SimHash fingerprints (sign-aggregated token hashes) —
-    near-dups collide on the fingerprint; grouping, not pairwise."""
-    from movex_cdc_spark.operators.dedup import simhash16
-
-    return simhash16(load(spark, sf_dir, "documents"))
-
-
-@register(
     "multimodal_features",
     """
     WITH m AS (
@@ -1091,70 +1038,45 @@ def embedding_stats_by_label(spark, sf_dir):
 
 
 @register(
-    "text_language_id",
-    """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    s AS (
-      SELECT doc_id,
-             round(len(list_filter(toks, t -> lower(t) IN
-               ('the','a','an','of','and','to','in','is','on','for',
-                'with','at','by','from','as','it','that','this','be','or')))
-               / greatest(len(toks), 1), 6) AS sw_ratio
-      FROM t)
-    SELECT doc_id, sw_ratio,
-           CASE WHEN sw_ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang
-    FROM s
-    """,
-)
-def text_language_id(spark, sf_dir):
-    """Heuristic language ID by English stopword ratio (n-gram
-    heuristic family)."""
-    from movex_cdc_spark.operators.textops import language_id
-
-    return language_id(load(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_quality_score",
+    "text_analysis_battery",
     """
     WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
     m AS (
-      SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+      SELECT doc_id,
+             round(len(list_filter(toks, tk -> lower(tk) IN
+               ('the','a','an','of','and','to','in','is','on','for',
+                'with','at','by','from','as','it','that','this','be','or')))
+               / greatest(len(toks), 1), 6) AS sw_ratio,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
              round((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
                    / greatest(length(text), 1), 6) AS punct_ratio,
              round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
                    / greatest(length(text), 1), 6) AS digit_ratio,
-             round(list_sum([length(tk) for tk in toks]) / greatest(len(toks), 1), 6) AS mean_tok_len
+             round(list_sum([length(tk) for tk in toks]) / greatest(len(toks), 1), 6) AS mean_tok_len,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
+             sha256(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
       FROM t)
-    SELECT *, round(least(n_tokens / 100.0, 1.0) * 0.5
-                    + (1 - least(punct_ratio * 5, 1.0)) * 0.25
-                    + (1 - least(digit_ratio * 5, 1.0)) * 0.25, 6) AS quality
+    SELECT *,
+           CASE WHEN sw_ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
+           round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + (1 - least(punct_ratio * 5, 1.0)) * 0.25
+                 + (1 - least(digit_ratio * 5, 1.0)) * 0.25, 6) AS quality
     FROM m
     """,
 )
-def text_quality_score(spark, sf_dir):
-    """Quality scoring: length/punct/digit/token-length heuristics with
-    a composite score — the filter stage of a data pipeline."""
-    from movex_cdc_spark.operators.textops import quality_score
+def text_analysis_battery(spark, sf_dir):
+    """The full per-document text-analysis battery in ONE projection
+    over ONE scan (operators/textops.py text_analysis): language ID
+    (stopword-ratio heuristic), quality heuristics + composite score,
+    whitespace + BPE-ish token counts, and the order-insensitive
+    bag-of-tokens fingerprint. language_id / quality_score /
+    token_counts / fingerprint are thin column slices of this frame,
+    each pytest-covered; verifying the battery verifies all four while
+    costing the driver one row instead of four."""
+    from movex_cdc_spark.operators.textops import text_analysis
 
-    return quality_score(load(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_token_counts",
-    """
-    SELECT doc_id,
-           len(string_split(text, ' ')) AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
-           length(text) AS n_chars
-    FROM documents
-    """,
-)
-def text_token_counts(spark, sf_dir):
-    """Token counting: whitespace tokens + BPE-ish regex token proxy."""
-    from movex_cdc_spark.operators.textops import token_counts
-
-    return token_counts(load(spark, sf_dir, "documents"))
+    return text_analysis(load(spark, sf_dir, "documents"))
 
 
 @register(
@@ -1239,21 +1161,6 @@ def pipeline_clean_corpus(spark, sf_dir):
         .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
         .select("doc_id", "sw_ratio", "quality")
     )
-
-
-@register(
-    "text_fingerprint",
-    """
-    SELECT doc_id,
-           sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
-    FROM documents
-    """,
-)
-def text_fingerprint(spark, sf_dir):
-    """Order-insensitive bag-of-tokens document fingerprint."""
-    from movex_cdc_spark.operators.textops import fingerprint
-
-    return fingerprint(load(spark, sf_dir, "documents"))
 
 
 # =====================================================================
@@ -1513,6 +1420,83 @@ def streaming_stateful_sessions(spark, sf_dir):
     q.awaitTermination(600)
     return spark.read.parquet(f"{tdir}/out").select(
         "user_id", "session_id", "events_in_session", "first_seq", "last_seq"
+    )
+
+
+@register(
+    "streaming_hourly_stats",
+    """
+    WITH m AS (SELECT max(ts) AS max_ts FROM events)
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS events,
+           round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS sum_value,
+           max(event_id) AS max_seq
+    FROM events, m
+    GROUP BY date_trunc('hour', ts), event_type, m.max_ts
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= m.max_ts - INTERVAL 2 HOUR
+    """,
+)
+def streaming_hourly_stats_rollup(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP watermarked streaming rollup — the reference
+    A3 statistics compaction (compress_statistics.rb:26-59) in true
+    event-time form (streaming/windows.py streaming_hourly_stats). The
+    stream is staged as THREE triggers with a genuinely LATE second
+    batch: a 60-minute strip of events is withheld from trigger 1 (which
+    already contains newer rows) and delivered in trigger 2 — inside the
+    2-hour watermark slack, so every late row still counts, exercising
+    the documented late-data contract (SURVEY ST3). Trigger 3 advances
+    the watermark so the late rows' windows are emitted. Append mode
+    emits each (window, event_type) exactly once; the oracle mirrors the
+    emission rule — only windows whose end <= max(ts) - 2h are out — and
+    the decimal(18,2) value sum (order-independent, exact)."""
+    import os as _os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from movex_cdc_spark.streaming.windows import streaming_hourly_stats
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+    m = ev["ts"].max()
+    tail = ev[ev["ts"] > m - pd.Timedelta(hours=4)]
+    rest = ev[ev["ts"] <= m - pd.Timedelta(hours=4)]
+    t1 = rest["ts"].max()
+    late_mask = (rest["ts"] > t1 - pd.Timedelta(minutes=90)) & (
+        rest["ts"] <= t1 - pd.Timedelta(minutes=30)
+    )
+    tdir = tempfile.mkdtemp(prefix="hourly_stats_")
+    d = f"{tdir}/events"
+    _os.makedirs(d)
+    # trigger order = mtime order: bulk (already contains rows NEWER
+    # than the withheld strip) -> the late strip -> the 4h tail
+    for i, chunk in enumerate((rest[~late_mask], rest[late_mask], tail)):
+        path = f"{d}/ev-{i:03d}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False), path,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        _os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+    q = streaming_hourly_stats(
+        spark, d, f"{tdir}/ckpt", f"{tdir}/out", schema,
+        watermark="2 hours", window="1 hour", max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{tdir}/out").select(
+        "window_start", "event_type", "events", "sum_value", "max_seq"
     )
 
 

@@ -64,23 +64,32 @@ def streaming_hourly_stats(
     schema: T.StructType,
     watermark: str = "2 hours",
     window: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ):
     """Watermarked tumbling-window stats over the event stream, append
     mode: each (window, event_type) row is written exactly once, after
     the watermark passes the window end. Late rows inside the watermark
     slack still count; later ones are dropped by design (the documented
-    late-data contract)."""
-    ev = spark.readStream.schema(schema).parquet(events_dir)
+    late-data contract). ``value`` is summed as DECIMAL(18,2) so the
+    result is exact and aggregation-order-independent (the repo's
+    money-sum parity discipline) — a float sum over a shuffled stream
+    is not reproducible bit-for-bit."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(events_dir)
     agg = (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
             F.max("event_id").alias("max_seq"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type",
-                "events", "sum_value", "max_seq")
+                "events",
+                F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+                "max_seq")
     )
     return (
         agg.writeStream.outputMode("append")

@@ -21,7 +21,7 @@ SUBSET = [
     "q1_pricing_summary",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    "text_quality_score",
+    "text_analysis_battery",
 ]
 
 

@@ -75,7 +75,7 @@ def test_no_unplanned_cartesian_anywhere(spark):
     fast = [
         "cdc_lww_latest_state", "cdc_noop_suppression", "cdc_keyed_slice",
         "q1_pricing_summary", "q3_top_revenue_orders", "window_topk_per_group",
-        "dedup_exact_sha", "dedup_ngram_jaccard", "text_quality_score",
+        "dedup_exact_sha", "dedup_ngram_jaccard", "text_analysis_battery",
         "cdc_sessionization", "distinct_count_per_group",
     ]
     for name in fast:

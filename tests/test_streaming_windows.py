@@ -56,7 +56,9 @@ def test_streaming_hourly_stats_watermark(spark, tmp_path):
     assert len(got) > 0
 
     # every emitted row must equal the batch aggregation for its window
+    # (value is summed as DECIMAL(18,2) in the engine -> mirror with 2dp)
     ev2 = ev.copy()
+    ev2["value"] = ev2["value"].round(2)
     ev2["window_start"] = ev2["ts"].dt.floor("h")
     batch = (
         ev2.groupby(["window_start", "event_type"])
