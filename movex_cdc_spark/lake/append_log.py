@@ -10,19 +10,67 @@ Scale shape: an append is one parquet write of the batch, zero shuffle,
 zero rewrite of existing data — O(batch), never O(table). Exactly-once
 comes from the same metadata-pointer protocol as LakeTable: the file
 list and the per-stream epoch fence are committed in one atomic
-``os.replace`` of the ``_current`` pointer, so a replayed foreachBatch
-epoch is a metadata no-op and its orphaned data files are never listed.
+``os.replace`` of the ``_current`` pointer. Segment directories are
+uuid-named, so a crash BETWEEN the parquet write and the metadata
+commit leaves only an orphan dir that no listing ever references —
+the replayed epoch writes a fresh dir and commits normally (a
+version-derived name would collide with the orphan and wedge the log).
+
+Schema evolution mirrors LakeTable.evolve_schema: the committed read
+schema is the add-only UNION of every appended batch (widenable
+primitives widen — Spark 4's parquet readers promote int32->long /
+float->double at scan time); an incompatible type change raises
+instead of silently corrupting older segments.
+
+Compaction (small-files housekeeping) swaps the listing atomically and
+RETAINS the old segment dirs: a concurrent reader that planned a scan
+over the old listing still finds its files. ``expire_segments`` reaps
+unreferenced dirs after a retention window, like
+LakeTable.expire_snapshots.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+from movex_cdc_spark.lake.table import _WIDEN
+
+
+def _union_schema(cur: dict | None, batch: T.StructType) -> dict:
+    """Add-only union of the committed schema and a batch schema, with
+    Iceberg-compatible primitive widening; incompatible changes raise."""
+    if cur is None:
+        return batch.jsonValue()
+    have = T.StructType.fromJson(cur)
+    by_name = {f.name: f for f in have.fields}
+    for f in batch.fields:
+        if isinstance(f.dataType, T.NullType):
+            continue  # all-null column carries no type information
+        if f.name not in by_name:
+            by_name[f.name] = T.StructField(f.name, f.dataType, True)
+        else:
+            old = by_name[f.name].dataType
+            new = f.dataType
+            if old != new:
+                if (old.typeName(), new.typeName()) in _WIDEN:
+                    by_name[f.name] = T.StructField(f.name, new, True)
+                elif (new.typeName(), old.typeName()) in _WIDEN:
+                    pass  # batch is narrower; the reader widens at scan
+                else:
+                    raise ValueError(
+                        f"incompatible append-log type change for {f.name}: {old} -> {new}"
+                    )
+    ordered = [by_name[f.name] for f in have.fields] + [
+        by_name[f.name] for f in batch.fields if f.name not in {g.name for g in have.fields}
+    ]
+    return T.StructType(ordered).jsonValue()
 
 
 class UnkeyedEventLog:
@@ -35,7 +83,9 @@ class UnkeyedEventLog:
     def create(cls, spark: SparkSession, path: str) -> "UnkeyedEventLog":
         log = cls(spark, path)
         os.makedirs(log.meta_dir, exist_ok=False)
-        log._write_version({"version": 0, "files": [], "epochs": {}, "schema": None})
+        log._write_version(
+            {"version": 0, "files": [], "epochs": {}, "schema": None, "retired": []}
+        )
         return log
 
     @classmethod
@@ -60,6 +110,19 @@ class UnkeyedEventLog:
             f.write(str(v))
         os.replace(tmp, os.path.join(self.meta_dir, "_current"))
 
+    def _write_segment(self, batch: DataFrame, new_version: int) -> list[str]:
+        """Write one uuid-named segment dir; returns the relative file
+        list. The uuid makes a crash-replayed epoch rewrite a FRESH dir
+        (the orphan from the crashed attempt is never listed)."""
+        seg_rel = f"seg-{new_version}-{uuid.uuid4().hex[:8]}"
+        seg_dir = os.path.join(self.path, seg_rel)
+        batch.write.parquet(seg_dir, mode="errorifexists")
+        return [
+            os.path.join(seg_rel, f)
+            for f in sorted(os.listdir(seg_dir))
+            if f.endswith(".parquet")
+        ]
+
     # --------------------------------------------------------- append
     def append(
         self, batch: DataFrame, stream_id: str = "default", epoch_id: int | None = None
@@ -72,21 +135,14 @@ class UnkeyedEventLog:
             if last is not None and epoch_id <= last:
                 return {"skipped": True, "stream_id": stream_id, "epoch_id": epoch_id}
         new_version = m["version"] + 1
-        seg_rel = f"seg-{new_version}"
-        seg_dir = os.path.join(self.path, seg_rel)
-        batch.write.parquet(seg_dir, mode="errorifexists")
-        files = [
-            os.path.join(seg_rel, f)
-            for f in sorted(os.listdir(seg_dir))
-            if f.endswith(".parquet")
-        ]
+        files = self._write_segment(batch, new_version)
         m2 = dict(m)
         m2["version"] = new_version
         m2["files"] = list(m["files"]) + files
         m2["epochs"] = dict(m["epochs"])
         if epoch_id is not None:
             m2["epochs"][stream_id] = epoch_id
-        m2["schema"] = batch.schema.jsonValue()
+        m2["schema"] = _union_schema(m.get("schema"), batch.schema)
         self._write_version(m2)
         return {
             "version": new_version,
@@ -95,39 +151,64 @@ class UnkeyedEventLog:
             "files_added": len(files),
         }
 
-    # -------------------------------------------------------- compact
+    # -------------------------------------------------------- rewrite
+    def _swap_listing(self, m: dict, new_files: list[str], schema: dict) -> dict[str, Any]:
+        """Commit a full-listing swap: the old segments become RETIRED
+        (still on disk for in-flight readers) and are reaped later by
+        expire_segments — never deleted inside the commit."""
+        old_dirs = sorted({f.split(os.sep, 1)[0] for f in m["files"]})
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["files"] = new_files
+        m2["schema"] = schema
+        m2["retired"] = list(m.get("retired", [])) + [
+            {"dir": d, "at_version": m2["version"]} for d in old_dirs
+        ]
+        self._write_version(m2)
+        return {"version": m2["version"], "files_before": len(m["files"]),
+                "files_after": len(new_files)}
+
+    def replace(self, df: DataFrame) -> dict[str, Any]:
+        """Replace the whole log content in one atomic commit (the
+        dead-letter RETRY rewrite: waiting ∪ still-poison rows back in,
+        healed rows out). Epoch fences are preserved; readers see the
+        old or the new listing, never a partial state."""
+        m = self.meta()
+        files = self._write_segment(df, m["version"] + 1)
+        return self._swap_listing(m, files, _union_schema(m.get("schema"), df.schema))
+
     def compact_segments(self, target_files: int = 4) -> dict[str, Any]:
         """Small-files housekeeping (the sink-side ST8): a long-running
         stream appends one segment per epoch; rewrite them into
         ``target_files`` files and swap the listing in one atomic
-        commit. Epoch fences are preserved; readers only ever see the
-        old or the new listing. Safe to run while appends are fenced
-        (single-writer per stream, like the merge path)."""
+        commit. Old segments stay on disk until expire_segments."""
         m = self.meta()
         if len(m["files"]) <= target_files:
             return {"skipped": True, "files": len(m["files"])}
         new_version = m["version"] + 1
-        seg_rel = f"seg-{new_version}"
-        seg_dir = os.path.join(self.path, seg_rel)
-        self.read().coalesce(target_files).write.parquet(seg_dir, mode="errorifexists")
-        files = [
-            os.path.join(seg_rel, f)
-            for f in sorted(os.listdir(seg_dir))
-            if f.endswith(".parquet")
-        ]
-        old_files = m["files"]
-        m2 = dict(m)
-        m2["version"] = new_version
-        m2["files"] = files
-        self._write_version(m2)
-        # old segments are unreferenced now; remove them physically
-        import shutil as _shutil
+        files = self._write_segment(self.read().coalesce(target_files), new_version)
+        return self._swap_listing(m, files, m.get("schema"))
 
-        old_dirs = {os.path.dirname(f) for f in old_files}
-        for d in old_dirs:
-            _shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        return {"version": new_version, "files_before": len(old_files),
-                "files_after": len(files)}
+    def expire_segments(self, keep_last: int = 2) -> int:
+        """Reap retired segment dirs whose swap happened more than
+        ``keep_last`` versions ago (LakeTable.expire_snapshots analog):
+        any reader that planned against a retained listing has finished
+        by then. Returns the number of dirs removed."""
+        m = self.meta()
+        cutoff = m["version"] - keep_last
+        keep, removed = [], 0
+        for r in m.get("retired", []):
+            if r["at_version"] <= cutoff:
+                shutil.rmtree(os.path.join(self.path, r["dir"]), ignore_errors=True)
+                removed += 1
+            else:
+                keep.append(r)
+        if removed:
+            m2 = dict(m)
+            m2["version"] = m["version"] + 1
+            m2["retired"] = keep
+            self._write_version(m2)
+        return removed
 
     # ----------------------------------------------------------- read
     def read(self) -> DataFrame:
@@ -138,7 +219,7 @@ class UnkeyedEventLog:
                 T.StructType.fromJson(m["schema"]) if m.get("schema") else T.StructType([])
             )
             return self.spark.createDataFrame([], schema)
-        # read with the latest committed schema so earlier segments
-        # written before a column add come back with nulls
+        # read with the committed UNION schema: segments written before
+        # a column add come back with nulls, narrower primitives widen
         schema = T.StructType.fromJson(m["schema"])
         return self.spark.read.schema(schema).parquet(*files)

@@ -174,12 +174,12 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
     n_poison = 0
     if dead_letter is not None:
         # Append poison rows BEFORE the merge commit: a crash between the
-        # two can only replay the append, never lose it — dead letters are
-        # at-least-once across crash replays (duplicates are tolerated, and
-        # healed rows re-applied via RetryWorker are idempotent under the
-        # merge's seq fence), like the reference's final-errors path
-        # (transfer_thread.rb:468-491). Runs even when the merge will be
-        # empty — a batch can be ALL poison.
+        # two can only replay the append, never lose it — and the dead
+        # letter log's OWN (stream_id, epoch_id) fence makes the replay a
+        # metadata no-op, so quarantine rows are exactly-once, like the
+        # reference's final-errors path (transfer_thread.rb:468-491).
+        # Runs even when the merge will be empty — a batch can be ALL
+        # poison.
         n_poison = dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
 
     lineage = table.merge(
@@ -281,11 +281,24 @@ def with_envelope(df: DataFrame, schema_name: str = "public",
 class DeadLetterTable:
     """Append-only quarantine for poison rows (reference S11:
     Event_Log_Final_Errors, transfer_thread.rb:468-491) with
-    retry bookkeeping (S7/ST5: retry_count, exponential backoff)."""
+    retry bookkeeping (S7/ST5: retry_count, exponential backoff).
+
+    Backed by an epoch-fenced UnkeyedEventLog: the append commits
+    atomically per (stream_id, epoch_id), so a replayed Structured
+    Streaming epoch is a metadata no-op — quarantine rows are written
+    exactly once even though the append runs BEFORE the merge commit
+    (the crash window between the two stays loss-free AND
+    duplicate-free)."""
 
     def __init__(self, spark, path: str):
+        from movex_cdc_spark.lake.append_log import UnkeyedEventLog
+
         self.spark = spark
         self.path = path
+        try:
+            self.log = UnkeyedEventLog.load(spark, path)
+        except Exception:
+            self.log = UnkeyedEventLog.create(spark, path)
 
     def append(self, poison: DataFrame, stream_id: str, epoch_id: int | None) -> int:
         out = (
@@ -296,14 +309,21 @@ class DeadLetterTable:
         )
         obs = Observation(f"dl_{stream_id}_{epoch_id}_{time.monotonic_ns()}")
         out = out.observe(obs, F.count(F.lit(1)).alias("n"))
-        out.write.mode("append").parquet(self.path)
+        lineage = self.log.append(out, stream_id=stream_id, epoch_id=epoch_id)
+        if lineage.get("skipped"):
+            return 0  # fenced replay: rows already quarantined
         return int(obs.get.get("n", 0))
 
+    def replace(self, df: DataFrame) -> None:
+        """Atomic rewrite for the retry pass (healed rows out,
+        still-poison rows back with retry_count+1)."""
+        self.log.replace(df)
+
     def read(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(self.path)
-        except Exception:
+        df = self.log.read()
+        if not df.columns:
             return None  # nothing dead-lettered yet
+        return df
 
     def retry_eligible(self, start_delay_s: int = 20) -> DataFrame:
         """Rows whose exponential backoff has elapsed (reference S7:

@@ -64,12 +64,23 @@ def pairs_within_groups(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
     TWICE (measured 2× on the minhash path) and shuffles both sides;
     this shape groups once and generates pairs locally. Array sizes are
     bounded by the block-size caps (max_shingle_df / max_bucket_size),
-    which is what makes per-row pair generation safe at scale."""
+    which is what makes per-row pair generation safe at scale.
+
+    Guarded against sub-2 arrays INSIDE the expression: sequence(1, 0)
+    in Spark DESCENDS ([1, 0]) rather than being empty, so an unguarded
+    generator evaluates ids[-1] — an ANSI-mode error (and a bogus
+    (null, id) pair pre-ANSI). The index list is built ascending and
+    FILTERED to valid positions, so sub-2 arrays yield the empty pair
+    list (explode then drops the row) and callers need no pre-filter."""
+    idx = (
+        f"filter(sequence(1, greatest(size({ids_col}), 1)),"
+        f" i -> i < size({ids_col}))"
+    )
     return grouped.select(
         *[c for c in grouped.columns if c != ids_col],
         F.explode(
             F.expr(
-                f"flatten(transform(sequence(1, size({ids_col}) - 1),"
+                f"flatten(transform({idx},"
                 f" i -> transform(slice({ids_col}, i + 1, size({ids_col}) - i),"
                 f" j -> struct({ids_col}[i - 1] as id_a, j as id_b))))"
             )

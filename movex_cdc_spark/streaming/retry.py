@@ -14,9 +14,6 @@ rows beyond max_retries are moved to the final-errors table.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -85,17 +82,10 @@ class RetryWorker:
                 .parquet(self.final_errors_dir)
             )
 
-        # rewrite the dead-letter table = waiting ∪ retrying
-        # (write-new-then-swap so a crash never loses rows)
-        new_dl = waiting.unionByName(retrying)
-        tmp = self.dl.path + f".tmp.{uuid.uuid4().hex}"
-        new_dl.write.mode("overwrite").parquet(tmp)
-        old = self.dl.path
-        trash = old + ".old"
-        if os.path.isdir(old):
-            os.rename(old, trash)
-        os.rename(tmp, old)
-        shutil.rmtree(trash, ignore_errors=True)
+        # rewrite the dead-letter table = waiting ∪ retrying, through
+        # the log's atomic listing swap (write-new-then-commit: a crash
+        # never loses rows, in-flight readers keep their old listing)
+        self.dl.replace(waiting.unionByName(retrying))
         return {
             "eligible": n_healed + n_still,
             "healed": n_healed,

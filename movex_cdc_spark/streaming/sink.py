@@ -109,10 +109,16 @@ class EnvelopeSink:
             F.col("operation") == "DELETE"
         )
         key_ok = F.col("msg_key").isNotNull()
-        good = env.filter(size_ok & json_ok & key_ok).withColumn(
-            "message_bytes", F.octet_length(msg)
-        )
-        rejected = env.filter(~(size_ok & json_ok & key_ok)).withColumn(
+        ok = size_ok & json_ok & key_ok
+        # the reject count rides the append scan as an Observation (the
+        # observe sits UPSTREAM of the validity filter, so the one write
+        # job counts the rows it drops) — no second action per epoch
+        from pyspark.sql import Observation
+
+        obs = Observation(f"emit_{stream_id}_{epoch_id}")
+        observed = env.observe(obs, F.sum(F.when(~ok, 1).otherwise(0)).alias("n_rejected"))
+        good = observed.filter(ok).withColumn("message_bytes", F.octet_length(msg))
+        rejected = env.filter(~ok).withColumn(
             "error_msg",
             F.when(~size_ok, F.lit("message exceeds size cap"))
             .when(~json_ok, F.lit("invalid payload json"))
@@ -120,7 +126,7 @@ class EnvelopeSink:
         )
         lineage = self.log.append(good, stream_id=stream_id, epoch_id=epoch_id)
         if not lineage.get("skipped"):
-            n_rejected = rejected.count()
+            n_rejected = int(obs.get.get("n_rejected") or 0)
             lineage["n_rejected"] = n_rejected
             lineage["rejected_df"] = rejected if n_rejected else None
         return lineage
@@ -135,14 +141,16 @@ class EnvelopeSink:
         emitted stream: for each msg_key, epoch high-water marks must
         ascend — epoch e's max id < epoch e'>e's min id. Returns counts;
         violations > 0 means a late event crossed an epoch boundary out
-        of order."""
+        of order. ONE job: messages/keys/violations all fold out of the
+        same per-(key, epoch) aggregate."""
         df = self.read()
         m = self.log.meta()
         if not m["files"]:
             return {"messages": 0, "keys": 0, "violations": 0}
-        # epoch attribution: segment files are committed per epoch in
-        # ascending version order; map file -> commit version
-        seg = F.regexp_extract(F.input_file_name(), r"seg-(\d+)/", 1).cast("long")
+        # epoch attribution: segment dirs are committed per epoch in
+        # ascending version order; map file -> commit version (dir name
+        # is seg-<version>-<uuid>)
+        seg = F.regexp_extract(F.input_file_name(), r"seg-(\d+)", 1).cast("long")
         per_epoch = (
             df.withColumn("__seg", seg)
             .groupBy("msg_key", "__seg")
@@ -150,11 +158,23 @@ class EnvelopeSink:
                  F.count(F.lit(1)).alias("n"))
         )
         w = Window.partitionBy("msg_key").orderBy("__seg")
-        flagged = per_epoch.withColumn("prev_max", F.lag("max_id").over(w)).filter(
-            F.col("prev_max").isNotNull() & (F.col("min_id") <= F.col("prev_max"))
+        row = (
+            per_epoch.withColumn("prev_max", F.lag("max_id").over(w))
+            .agg(
+                F.sum("n").alias("messages"),
+                F.countDistinct("msg_key").alias("keys"),
+                F.sum(
+                    F.when(
+                        F.col("prev_max").isNotNull()
+                        & (F.col("min_id") <= F.col("prev_max")),
+                        1,
+                    ).otherwise(0)
+                ).alias("violations"),
+            )
+            .first()
         )
         return {
-            "messages": df.count(),
-            "keys": df.select("msg_key").distinct().count(),
-            "violations": flagged.count(),
+            "messages": int(row["messages"]),
+            "keys": int(row["keys"]),
+            "violations": int(row["violations"] or 0),
         }

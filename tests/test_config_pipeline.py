@@ -161,8 +161,10 @@ def test_unkeyed_append_path(spark, tmp_path):
     # mode 'N' produces NULL message keys (relaxed ordering contract)
     assert out.filter(F.col("msg_key").isNotNull()).count() == 0
     # poison rows went to the dead letter, not the log
+    from movex_cdc_spark.operators.apply import DeadLetterTable
+
     n_poison = int((ev["content"].isna() & ev["op"].isin(["I", "U"])).sum())
-    assert spark.read.parquet(str(tmp_path / "dl")).count() == n_poison
+    assert DeadLetterTable(spark, str(tmp_path / "dl")).read().count() == n_poison
 
     # resume from the same checkpoint: nothing new, nothing duplicated
     pipe2 = CdcStreamPipeline(
@@ -246,3 +248,70 @@ def test_unkeyed_log_segment_compaction(spark, tmp_path):
                               epoch_id=3, table_cfg=cfg)
     assert rep.get("skipped")
     assert log.read().count() == n_before
+
+
+def test_unkeyed_log_compaction_retains_then_expires(spark, tmp_path):
+    """Compaction swaps the listing but RETAINS old segment dirs for
+    in-flight readers; expire_segments reaps them after the retention
+    window (LakeTable.expire_snapshots analog)."""
+    import os
+
+    df = spark.range(100).selectExpr("id", "cast(id as string) AS v")
+    log = UnkeyedEventLog.create(spark, str(tmp_path / "ulog"))
+    for i in range(6):
+        log.append(df.filter(F.pmod(F.col("id"), F.lit(6)) == i), epoch_id=i)
+    old_dirs = {f.split(os.sep)[0] for f in log.meta()["files"]}
+    # a reader that planned BEFORE the compaction (captures the old listing)
+    stale_reader = log.read()
+    log.compact_segments(target_files=1)
+    for d in old_dirs:  # still on disk
+        assert os.path.isdir(tmp_path / "ulog" / d), d
+    assert stale_reader.count() == 100  # old plan still executes
+    assert log.read().count() == 100
+    # within retention: nothing reaped
+    assert log.expire_segments(keep_last=5) == 0
+    assert log.expire_segments(keep_last=0) == len(old_dirs)
+    for d in old_dirs:
+        assert not os.path.isdir(tmp_path / "ulog" / d), d
+    assert log.read().count() == 100
+
+
+def test_unkeyed_log_schema_union_and_widen(spark, tmp_path):
+    """append() UNIONS schemas add-only with primitive widening — a
+    narrowing config swap must not drop columns from older segments,
+    and an incompatible type change must raise."""
+    import pytest
+
+    log = UnkeyedEventLog.create(spark, str(tmp_path / "ulog"))
+    log.append(spark.range(3).selectExpr("cast(id as int) AS a", "id AS k"), epoch_id=0)
+    # column add + widen a: int -> long
+    log.append(spark.range(3).selectExpr("id AS a", "id AS k", "'x' AS b"), epoch_id=1)
+    # NARROWING swap: b disappears, a back to int — older segments keep b
+    log.append(spark.range(3).selectExpr("cast(id as int) AS a", "id AS k"), epoch_id=2)
+    got = log.read()
+    assert [f.name for f in got.schema.fields] == ["a", "k", "b"]
+    assert dict((f.name, f.dataType.typeName()) for f in got.schema.fields)["a"] == "long"
+    assert got.count() == 9
+    assert got.filter("b IS NOT NULL").count() == 3
+    with pytest.raises(ValueError, match="incompatible"):
+        log.append(spark.range(3).selectExpr("cast(id as string) AS a", "id AS k"),
+                   epoch_id=3)
+
+
+def test_dead_letter_append_is_epoch_fenced(spark, tmp_path):
+    """A replayed foreachBatch epoch must not duplicate quarantine rows
+    (the dead-letter append runs BEFORE the merge commit, so replays of
+    the same epoch are the NORMAL crash-recovery path)."""
+    from movex_cdc_spark.operators.apply import DeadLetterTable
+
+    dl = DeadLetterTable(spark, str(tmp_path / "dl"))
+    poison = spark.range(5).selectExpr(
+        "id AS seq", "'r' AS repo", "'p' AS path",
+        "cast(null as string) AS content", "'U' AS op", "'no content' AS error_msg",
+    )
+    assert dl.append(poison, stream_id="s", epoch_id=7) == 5
+    # crash replay of epoch 7: metadata no-op, zero new rows
+    assert dl.append(poison, stream_id="s", epoch_id=7) == 0
+    assert dl.read().count() == 5
+    assert dl.append(poison, stream_id="s", epoch_id=8) == 5
+    assert dl.read().count() == 10

@@ -93,3 +93,20 @@ def test_simhash64_banded_near_dups_and_bucket_cap(spark):
     capped = simhash64_banded_pairs(dfc, n_bands=4, max_bucket_size=5).count()
     assert uncapped == 12 * 11 // 2
     assert capped == 0
+
+
+def test_pairs_within_groups_singleton_guard(spark):
+    """sequence(1, 0) DESCENDS in Spark, so an unguarded pair generator
+    emits a bogus (null, id) pair for singleton id arrays — the guard
+    lives INSIDE the expression, no caller pre-filter needed, and must
+    not coerce the id type."""
+    from movex_cdc_spark.operators.dedup import pairs_within_groups
+
+    grouped = spark.createDataFrame(
+        [([1],), ([10, 20, 30],)], "ids: array<bigint>"
+    )
+    got = pairs_within_groups(grouped).orderBy("id_a", "id_b").collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(10, 20), (10, 30), (20, 30)]
+    assert got[0].id_a is not None
+    # type preserved (a literal array() guard would coerce to string)
+    assert dict(pairs_within_groups(grouped).dtypes)["id_a"] == "bigint"

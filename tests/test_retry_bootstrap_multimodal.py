@@ -52,18 +52,18 @@ def test_retry_readmission(spark, tmp_path):
     r2 = worker.readmit(epoch_id=2)
     assert r2["eligible"] == 0
 
-    # heal the row in the dead-letter table, force eligibility
+    # heal the row in the dead-letter table, force eligibility — through
+    # the table's own atomic rewrite (the dl dir is a fenced log now,
+    # not a bare parquet dir)
     healed = dl.read().withColumn("content", F.lit("recovered")).withColumn(
         "last_error_time", F.expr("last_error_time - make_interval(0,0,0,1,0,0,0)")
     )
-    healed.write.mode("overwrite").parquet(str(tmp_path / "dl2"))
-    dl2 = DeadLetterTable(spark, str(tmp_path / "dl2"))
-    worker2 = RetryWorker(spark, t, dl2, str(tmp_path / "final"), max_retries=2)
-    r3 = worker2.readmit(epoch_id=3)
+    dl.replace(healed)
+    r3 = worker.readmit(epoch_id=3)
     assert r3["healed"] == 1
     got = {r["path"]: r["content"] for r in t.read().collect()}
     assert got["p"] == "recovered"
-    assert dl2.read().count() == 0
+    assert dl.read().count() == 0
 
 
 def test_retry_exhaustion_to_final_errors(spark, tmp_path):
