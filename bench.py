@@ -233,6 +233,65 @@ def run_cdc_apply_direct(spark, workdir: str, tag: str, n_events: int) -> dict:
     }
 
 
+def _stage_session_input(spark, workdir: str, n_events: int, n_users: int = 50_000) -> str:
+    """Deterministic sessionizable event stream: per user, event k lands
+    at base + k*20min + (k//5)*2h — every 5th event opens a >1h gap, so
+    each user closes a session every 5 events. Staged once, reused."""
+    d = os.path.join(workdir, f"sess-{n_events}")
+    if not os.path.isdir(d):
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ev = spark.range(n_events).selectExpr(
+            "id AS event_id",
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0,"
+            f" (id div {n_users}) * 1200 + ((id div {n_users}) div 5) * 7200) AS ts",
+            f"id % {n_users} AS user_id",
+            "'tick' AS event_type",
+            f"cast(id % 97 as double) / 97 AS value",
+            "'{}' AS props",
+        )
+        ev.coalesce(8).write.parquet(tmp)
+        os.rename(tmp, d)
+    return d
+
+
+def run_sessionize_stateful(spark, workdir: str, n_events: int) -> dict:
+    """The applyInPandasWithState gap-sessionizer at volume — measures
+    the Arrow-batched stateful path (vectorized numpy inside the hook),
+    not just asserts it."""
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.streaming.windows import gap_sessionize_stateful
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    d = _stage_session_input(spark, workdir, n_events)
+    run_dir = os.path.join(workdir, "run-sess")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir)
+    t0 = time.monotonic()
+    q = gap_sessionize_stateful(
+        spark, d, os.path.join(run_dir, "ckpt"), os.path.join(run_dir, "out"), schema
+    )
+    q.awaitTermination(3600)
+    wall = time.monotonic() - t0
+    n_sessions = spark.read.parquet(os.path.join(run_dir, "out")).count()
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return {
+        "wall_s": round(wall, 2),
+        "events_per_sec": round(n_events / wall, 1),
+        "sessions_emitted": n_sessions,
+    }
+
+
 def run_cow_vs_mor(spark, workdir: str, n_events: int = 200_000, n_epochs: int = 20) -> dict:
     """Write-amplification bench: the SAME stream applied as many tiny
     epochs through (a) eager COW merge — every epoch rewrites its
@@ -340,6 +399,7 @@ def main() -> None:
     spark = make_spark(CPUS)
     queries = run_queries(spark)
     cdc = run_cdc_apply(spark, workdir, f"bench{CPUS}", CDC_EVENTS)
+    sess = run_sessionize_stateful(spark, workdir, CDC_EVENTS)
     spark.stop()
     total = round(sum(queries.values()) + cdc["wall_s"], 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -354,6 +414,10 @@ def main() -> None:
                 "cdc_events_per_sec": cdc["events_per_sec"],
                 "cdc_events": CDC_EVENTS,
                 "cdc_epochs": cdc["epochs"],
+                # stateful sessionizer, reported SEPARATELY from the
+                # headline total (new in round 3 — keeps the suite wall
+                # comparable round-over-round)
+                "sessionize_stateful": sess,
                 "cpus": CPUS,
             }
         )
