@@ -37,12 +37,24 @@ _PRIORITY = [
     "dedup_duplicate_groups",      # red r2 (fixed this round)
     "streaming_hourly_stats",      # new this round
     "text_analysis_battery",       # new this round (merges 4 green rows)
+    "ann_ivf_probe",               # new this round (IVF scale path)
 ]
+
+# Deliberate overflow past a 50-query driver cap: green in rounds 1 AND
+# 2, and its family (sign-LSH bucketed ANN) stays driver-verified via
+# ann_random_projection_lsh; pytest still covers it every round.
+_DEPRIORITIZED = ["ann_lsh_bucketed"]
 
 
 def _ordered() -> list[str]:
-    rest = [n for n in REGISTRY if n not in _PRIORITY]
-    return [n for n in _PRIORITY if n in REGISTRY] + rest
+    rest = [
+        n for n in REGISTRY if n not in _PRIORITY and n not in _DEPRIORITIZED
+    ]
+    return (
+        [n for n in _PRIORITY if n in REGISTRY]
+        + rest
+        + [n for n in _DEPRIORITIZED if n in REGISTRY]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -164,6 +164,110 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_assign_cells(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = VEC_COL,
+    round_to: int = 6,
+):
+    """Column expr: nearest-centroid cell id for each vector, computed
+    ENTIRELY in codegen against the codebook inlined as plan literals —
+    the IVF coarse-quantizer step. Zero shuffle, zero UDF: per row it is
+    |codebook| fused dot products + an argmax fold. Cosine is rounded
+    to ``round_to`` with smaller centroid id winning ties, so any
+    engine reproduces the same assignment bit-for-bit."""
+    structs = []
+    for c_id, vec in centroids:
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+        nrm = sum(float(x) * float(x) for x in vec) ** 0.5
+        structs.append(
+            f"named_struct('c_id', {c_id}L, 'cs',"
+            f" round(aggregate(zip_with({vec_col}, {arr},"
+            f" (x, y) -> cast(x as double) * y),"
+            f" cast(0.0 as double), (acc, v) -> acc + v) / (norm * {nrm!r}D), {round_to}))"
+        )
+    scores = "array(" + ", ".join(structs) + ")"
+    # argmax fold: best (cs desc, c_id asc) — deterministic tie-break
+    return F.expr(
+        f"aggregate({scores}, named_struct('c_id', cast(-1 as long), 'cs', cast(-2.0 as double)),"
+        f" (best, s) -> case when s.cs > best.cs or (s.cs = best.cs and s.c_id < best.c_id)"
+        f" then s else best end).c_id"
+    )
+
+
+def ivf_probe_topk(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 3,
+    max_query_id: int | None = 30,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style ANN — the inverted-file scale path next to the LSH
+    family: assign every vector to its nearest-centroid CELL, probe only
+    the ``n_probe`` best cells per query, rank candidates by exact
+    cosine inside the probed cells.
+
+    Codebook: the vectors with ``vec_id < n_centroids`` (a fixed,
+    deterministic seed codebook the SQL oracle re-derives; a production
+    deployment trains it offline with k-means — the serving-time
+    structure audited here is identical either way). The codebook is
+    TINY by construction, so collecting it to inline as plan literals
+    is the standard broadcast-codebook pattern, not a data collect.
+
+    Scale shape at 10^10 rows: cell assignment is per-row codegen (no
+    shuffle, no UDF); the probe equi-join on cell is the ONLY corpus
+    shuffle, touching ~n_probe/n_centroids of the corpus per query
+    batch; the final top-k is a per-query window over candidates."""
+    normed = with_norm(corpus)
+    cent_rows = (
+        normed.filter(F.col(ID_COL) < n_centroids)
+        .select(ID_COL, VEC_COL)
+        .collect()  # bounded: n_centroids rows — the broadcast codebook
+    )
+    centroids = [(int(r[ID_COL]), list(r[VEC_COL])) for r in cent_rows]
+    cell = ivf_assign_cells(normed, centroids, round_to=round_to)
+
+    c = normed.withColumn("cell", cell).select(
+        F.col(ID_COL).alias("n_id"), F.col(VEC_COL).alias("n_vec"),
+        F.col("norm").alias("n_norm"), "cell",
+    )
+    # per-query probe list: rank ALL codebook scores, keep the best
+    # n_probe cells (same literal codebook, still codegen-only)
+    structs = []
+    for c_id, vec in centroids:
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+        nrm = sum(float(x) * float(x) for x in vec) ** 0.5
+        structs.append(
+            f"named_struct('cs',"
+            f" -round(aggregate(zip_with({VEC_COL}, {arr},"
+            f" (x, y) -> cast(x as double) * y),"
+            f" cast(0.0 as double), (acc, v) -> acc + v) / (norm * {nrm!r}D), {round_to}),"
+            f" 'c_id', {c_id}L)"
+        )
+    probes = (
+        f"slice(array_sort(array({', '.join(structs)})), 1, {n_probe})"
+    )
+    q = normed
+    if max_query_id is not None:
+        q = q.filter(F.col(ID_COL) < max_query_id)
+    q = q.select(
+        F.col(ID_COL).alias("q_id"), F.col(VEC_COL).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        F.explode(F.expr(f"transform({probes}, s -> s.c_id)")).alias("cell"),
+    )
+    pairs = F.broadcast(q).join(c, ["cell"]).filter(F.col("q_id") != F.col("n_id"))
+    scored = pairs.withColumn(
+        "cosine", F.round(_dot("q_vec", "n_vec") / (F.col("q_norm") * F.col("n_norm")), round_to)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("n_id").alias("neighbor_id"), "cosine", "rk")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.99,

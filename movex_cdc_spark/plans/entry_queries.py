@@ -954,6 +954,56 @@ def ann_random_projection_lsh(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_probe",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_reduce([x * x for x in embedding::DOUBLE[]], (a, b) -> a + b)) AS nrm
+      FROM embeddings),
+    cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+    score AS (
+      SELECT n.vec_id, c.c_id,
+             round(list_reduce([z[1]*z[2] for z in list_zip(n.v, c.cv)], (a, b) -> a + b)
+                   / (n.nrm * c.cn), 6) AS cs
+      FROM n, cent c),
+    ranked AS (
+      SELECT vec_id, c_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+      FROM score),
+    assign AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, c_id AS cell FROM ranked WHERE rn <= 2 AND vec_id < 30),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS n_id
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+    scored AS (
+      SELECT q_id, n_id,
+             round(list_reduce([z[1]*z[2] for z in list_zip(qn.v, nn.v)], (a, b) -> a + b)
+                   / (qn.nrm * nn.nrm), 6) AS cosine
+      FROM cand JOIN n qn ON qn.vec_id = cand.q_id JOIN n nn ON nn.vec_id = cand.n_id)
+    SELECT q_id, n_id AS neighbor_id, cosine, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def ann_ivf_probe(spark, sf_dir):
+    """IVF-style ANN (the inverted-file scale path the task list names
+    beside LSH): a 16-entry codebook is inlined as plan literals, every
+    vector gets a nearest-centroid CELL in pure codegen (zero shuffle),
+    each query probes its 2 best cells, and exact cosine ranks the
+    candidates inside the probed cells only — the probe equi-join on
+    cell is the single corpus shuffle. The oracle re-derives codebook,
+    assignment, probes and ranking from the same deterministic seed
+    codebook (vec_id < 16)."""
+    from movex_cdc_spark.operators.similarity import ivf_probe_topk
+
+    return ivf_probe_topk(
+        load(spark, sf_dir, "embeddings"), n_centroids=16, n_probe=2, k=3,
+        max_query_id=30,
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     """
     WITH pl AS (

@@ -83,3 +83,37 @@ def test_no_unplanned_cartesian_anywhere(spark):
         assert "CartesianProduct" not in p, name
         if name not in allowed:
             assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_ivf_probe_shape_and_recall_floor(spark):
+    """IVF ANN: assignment stays in codegen (no extra shuffle), the
+    probe join is broadcast (queries) — and within the probed cells the
+    ranking is EXACT: any (query, neighbor) pair that brute force also
+    ranks must carry the identical rounded cosine. Recall floor: every
+    query's true top-1 neighbor is found whenever it lives in a probed
+    cell; structurally we assert each query returns k candidates and
+    rk is dense 1..k."""
+    from movex_cdc_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_probe_topk,
+    )
+    from movex_cdc_spark.plans.entry_queries import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    ivf = ivf_probe_topk(e, n_centroids=8, n_probe=2, k=3, max_query_id=10).toPandas()
+    brute = cosine_topk_bruteforce(e, k=3, max_query_id=10).toPandas()
+
+    assert set(ivf["q_id"]) == set(range(10))
+    per_q = ivf.groupby("q_id")["rk"].apply(lambda s: sorted(s.tolist()))
+    assert all(v == [1, 2, 3] for v in per_q), per_q
+    # exactness inside probed cells: shared pairs carry identical scores
+    m = ivf.merge(brute, on=["q_id", "neighbor_id"], suffixes=("_i", "_b"))
+    assert len(m) > 0
+    assert (m["cosine_i"] == m["cosine_b"]).all()
+    # the plan broadcasts the query side and never goes cartesian
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivf_probe_topk(e, n_centroids=8, n_probe=2, k=3, max_query_id=10).explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
