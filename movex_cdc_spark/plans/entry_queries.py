@@ -691,7 +691,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     WITH {_SHINGLES_CTE},
     sig AS (
       SELECT doc_id,
-             [list_min([sha256(i::VARCHAR || '|' || s) for s in shingles]) for i in range(0, 8)] AS sig
+             [list_min([substr(sha256(s), i*8 + 1, 8) for s in shingles]) for i in range(0, 8)] AS sig
       FROM sh WHERE len(shingles) > 0),
     bands AS (
       SELECT doc_id, b AS band_idx, array_to_string(sig[b*2+1 : b*2+2], '') AS band_val
@@ -764,7 +764,7 @@ def multimodal_features(spark, sf_dir):
     WITH RECURSIVE {_SHINGLES_CTE},
     sig AS (
       SELECT doc_id,
-             [list_min([sha256(i::VARCHAR || '|' || s) for s in shingles]) for i in range(0, 8)] AS sig
+             [list_min([substr(sha256(s), i*8 + 1, 8) for s in shingles]) for i in range(0, 8)] AS sig
       FROM sh WHERE len(shingles) > 0),
     bands AS (
       SELECT doc_id, b AS band_idx, array_to_string(sig[b*2+1 : b*2+2], '') AS band_val

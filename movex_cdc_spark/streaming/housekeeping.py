@@ -47,6 +47,18 @@ def retain_recent(
     return n
 
 
+def housekeep_unkeyed_log(log, target_files: int = 4, keep_last: int = 2) -> dict:
+    """Sink-side ST8 in one pass over an UnkeyedEventLog (envelope sink
+    or dead-letter store): compact the per-epoch small segments into
+    ``target_files``, then reap segment dirs retired more than
+    ``keep_last`` listing versions ago — any reader that planned against
+    a retained listing has finished by then (the same retention contract
+    as LakeTable.expire_snapshots)."""
+    compaction = log.compact_segments(target_files=target_files)
+    expired = log.expire_segments(keep_last=keep_last)
+    return {"compaction": compaction, "segments_expired": expired}
+
+
 class Heartbeat:
     """Single-writer fencing for a pipeline home directory (reference
     heartbeat.rb: error if a FOREIGN heartbeat is younger than 2 min).

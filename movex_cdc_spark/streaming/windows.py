@@ -104,8 +104,33 @@ def streaming_hourly_stats(
 def _sessionize_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    return _sessionize_group_impl(key, pdfs, state, None)
+
+
+def _make_sessionizer(idle_timeout_s: int | None):
+    """Bind the idle timeout into the state hook (the hook signature is
+    fixed by applyInPandasWithState)."""
+    if idle_timeout_s is None:
+        return _sessionize_group
+
+    def hook(key, pdfs, state):
+        return _sessionize_group_impl(key, pdfs, state, idle_timeout_s)
+
+    return hook
+
+
+def _sessionize_group_impl(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    idle_timeout_s: int | None,
+) -> Iterator[pd.DataFrame]:
     """Per-user gap sessionizer. State carries the OPEN session across
-    micro-batches; closed sessions are emitted exactly once.
+    micro-batches; closed sessions are emitted exactly once. With
+    ``idle_timeout_s`` set (event-time timeout), a key whose watermark
+    passes last_ts + timeout FLUSHES its open session and clears its
+    state — the 100-TB guard: state size tracks ACTIVE keys, not every
+    key ever seen.
 
     All per-row work is vectorized numpy over the Arrow batch: one
     global sort by (ts, event_id) — the same total order the SQL
@@ -120,10 +145,22 @@ def _sessionize_group(
         session_id, last_ts_us, n, first_seq, last_seq = state.get
     else:
         session_id, last_ts_us, n, first_seq, last_seq = 0, None, 0, None, None
+    if getattr(state, "hasTimedOut", False):
+        # idle key: flush the open session exactly once, drop the state
+        state.remove()
+        if last_ts_us is not None:
+            yield pd.DataFrame(
+                [(user_id, session_id, n, first_seq, last_seq)],
+                columns=["user_id", "session_id", "events_in_session",
+                         "first_seq", "last_seq"],
+            )
+        return
     chunks = [p for p in pdfs if len(p)]
     if not chunks:
         if state.exists:
             state.update((session_id, last_ts_us, n, first_seq, last_seq))
+            if idle_timeout_s is not None:
+                _arm_timeout(state, last_ts_us, idle_timeout_s)
         return
     # Arrow may deliver the group as SEVERAL chunks; rows of one user
     # can span them, so the sort must be global over the whole batch.
@@ -169,11 +206,23 @@ def _sessionize_group(
         if i < n_runs - 1:
             out_rows.append((user_id, session_id, n, first_seq, last_seq))
     state.update((int(session_id), int(last_ts_us), int(n), int(first_seq), int(last_seq)))
+    if idle_timeout_s is not None:
+        _arm_timeout(state, int(last_ts_us), idle_timeout_s)
     if out_rows:
         yield pd.DataFrame(
             out_rows, columns=["user_id", "session_id", "events_in_session",
                                "first_seq", "last_seq"]
         )
+
+
+def _arm_timeout(state: GroupState, last_ts_us: int, idle_timeout_s: int) -> None:
+    """Event-time timeout at last event + idle window; Spark requires a
+    timestamp strictly beyond the current watermark, so clamp up when
+    the key is already stale at arming time (it then times out on the
+    next trigger)."""
+    want_ms = last_ts_us // 1000 + idle_timeout_s * 1000
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(want_ms, wm_ms + 1))
 
 
 def gap_sessionize_stateful(
@@ -183,6 +232,7 @@ def gap_sessionize_stateful(
     out_dir: str,
     schema: T.StructType,
     max_files_per_trigger: int | None = None,
+    idle_timeout_s: int | None = None,
 ):
     """Custom stateful streaming operator: per-key session state via
     applyInPandasWithState, checkpointed across micro-batches. Events
@@ -192,17 +242,30 @@ def gap_sessionize_stateful(
     same relaxed contract the reference's per-key worker affinity
     gives — and the hook ASSERTS it per batch: a layout change that
     delivers a batch older than the carried state fails loud instead
-    of silently mis-sessionizing."""
+    of silently mis-sessionizing.
+
+    ``idle_timeout_s``: event-time state timeout — when the watermark
+    passes a key's last event + timeout, its open session is flushed
+    and the state dropped. At 10^10 keys this is what keeps the state
+    store sized by ACTIVE keys; without it (default), open sessions
+    are carried forever (the registered oracle row uses the default,
+    whose 'last session stays open' contract is SQL-mirrorable)."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ev = reader.parquet(events_dir)
+    if idle_timeout_s is not None:
+        ev = ev.withWatermark("ts", f"{idle_timeout_s} seconds")
     sessions = ev.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        _make_sessionizer(idle_timeout_s),
         outputStructType=SESSION_OUTPUT,
         stateStructType=SESSION_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if idle_timeout_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         sessions.writeStream.outputMode("append")

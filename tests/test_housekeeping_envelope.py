@@ -61,3 +61,22 @@ def test_envelope_and_cloudevents(spark):
     assert u["ce_type"] == "cdc.update"
     assert u["timestamp"].startswith("2026-01-01T00:00:01.000")
     assert out[8]["operation"] == "INSERT"
+
+
+def test_housekeep_unkeyed_log_compacts_and_expires(spark, tmp_path):
+    from movex_cdc_spark.lake.append_log import UnkeyedEventLog
+    from movex_cdc_spark.streaming.housekeeping import housekeep_unkeyed_log
+
+    log = UnkeyedEventLog.create(spark, str(tmp_path / "ulog"))
+    from pyspark.sql import functions as F
+
+    df = spark.range(120).selectExpr("id", "cast(id as string) AS v")
+    for i in range(6):
+        log.append(df.filter(F.pmod(F.col("id"), F.lit(6)) == i), epoch_id=i)
+    r1 = housekeep_unkeyed_log(log, target_files=2, keep_last=0)
+    assert r1["compaction"]["files_after"] <= 2
+    assert r1["segments_expired"] == 6  # all six pre-compaction segments
+    assert log.read().count() == 120
+    # second pass: nothing left to do
+    r2 = housekeep_unkeyed_log(log, target_files=2, keep_last=0)
+    assert r2["compaction"].get("skipped") and r2["segments_expired"] == 0

@@ -218,3 +218,51 @@ def test_gap_sessionize_rejects_out_of_order_batches(spark, tmp_path):
     )
     with pytest.raises(Exception, match="out-of-order batch"):
         q.awaitTermination(300)
+
+
+def test_gap_sessionize_idle_timeout_flushes_state(spark, tmp_path):
+    """Event-time state timeout: a key idle past the timeout has its
+    open session FLUSHED and its state dropped when the watermark
+    passes — state tracks active keys (the 100-TB guard). Active keys
+    keep their open session un-emitted, and gap-closed sessions emit
+    exactly as without the timeout."""
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    # user 1: 5 events, then idle forever (file 1 only)
+    for j in range(5):
+        rows.append((100 + j, base + pd.Timedelta(minutes=j), 1, "tick", 0.0, "{}"))
+    # user 2: 3 events in file 1 ...
+    for j in range(3):
+        rows.append((200 + j, base + pd.Timedelta(minutes=j), 2, "tick", 0.0, "{}"))
+    f1 = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    # ... and 4 events 10h later in file 2 (closes session 0 by gap,
+    # advances the watermark far past user 1's last event + timeout)
+    rows2 = [
+        (210 + j, base + pd.Timedelta(hours=10, minutes=j), 2, "tick", 0.0, "{}")
+        for j in range(4)
+    ]
+    f2 = pd.DataFrame(rows2, columns=f1.columns)
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    _write_events(f1, os.path.join(d, "ev-000.parquet"))
+    _write_events(f2, os.path.join(d, "ev-001.parquet"))
+    now = os.stat(os.path.join(d, "ev-001.parquet")).st_mtime
+    os.utime(os.path.join(d, "ev-000.parquet"), (now - 100, now - 100))
+
+    q = gap_sessionize_stateful(
+        spark, d, str(tmp_path / "ckpt"), str(tmp_path / "out"), EVENTS_SCHEMA,
+        max_files_per_trigger=1, idle_timeout_s=2 * 3600,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    got = got.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+    # user 1: open session flushed by TIMEOUT (no closing gap ever seen)
+    u1 = got[got["user_id"] == 1]
+    assert len(u1) == 1
+    assert u1.iloc[0][["session_id", "events_in_session", "first_seq", "last_seq"]].tolist() == [0, 5, 100, 104]
+    # user 2: session 0 closed by the gap; session 1 still open and
+    # ACTIVE at stream end -> not emitted
+    u2 = got[got["user_id"] == 2]
+    assert len(u2) == 1
+    assert u2.iloc[0][["session_id", "events_in_session", "first_seq", "last_seq"]].tolist() == [0, 3, 200, 202]
