@@ -25,8 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries without a green DRIVER row yet run FIRST, so a driver-side
 # cap on the number of executed queries (observed: first 50) can never
-# rotate them out. The registry holds exactly 50 entries; the order
-# below only hedges against a smaller future cap.
+# rotate them out. The registry holds 51 entries: 50 inside the cap
+# plus the ONE deliberate overflow in _DEPRIORITIZED below — adding a
+# query means choosing another overflow row, not just appending.
 _PRIORITY = [
     "cdc_sessionization",          # red r1, outside the r2 window
     "cdc_json_payload_parse",      # green r1, outside the r2 window

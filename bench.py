@@ -281,7 +281,9 @@ def run_sessionize_stateful(spark, workdir: str, n_events: int) -> dict:
     q = gap_sessionize_stateful(
         spark, d, os.path.join(run_dir, "ckpt"), os.path.join(run_dir, "out"), schema
     )
-    q.awaitTermination(3600)
+    if not q.awaitTermination(3600):
+        q.stop()
+        raise TimeoutError("sessionize bench did not finish within 1h")
     wall = time.monotonic() - t0
     n_sessions = spark.read.parquet(os.path.join(run_dir, "out")).count()
     shutil.rmtree(run_dir, ignore_errors=True)

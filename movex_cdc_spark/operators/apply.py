@@ -291,13 +291,26 @@ class DeadLetterTable:
     duplicate-free)."""
 
     def __init__(self, spark, path: str):
+        import os
+
         from movex_cdc_spark.lake.append_log import UnkeyedEventLog
 
         self.spark = spark
         self.path = path
         try:
             self.log = UnkeyedEventLog.load(spark, path)
-        except Exception:
+        except FileNotFoundError:
+            # only a MISSING log may be created; a dir that holds data
+            # but no _meta is a legacy/foreign store — creating an empty
+            # log over it would silently orphan its rows. Any other load
+            # error (corrupt metadata) propagates as-is.
+            if os.path.isdir(path) and any(
+                f.endswith(".parquet") for f in os.listdir(path)
+            ):
+                raise ValueError(
+                    f"{path} holds parquet files but no log metadata — "
+                    "not re-initializing over existing quarantine data"
+                )
             self.log = UnkeyedEventLog.create(spark, path)
 
     def append(self, poison: DataFrame, stream_id: str, epoch_id: int | None) -> int:

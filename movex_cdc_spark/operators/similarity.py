@@ -164,6 +164,22 @@ def cosine_topk_lsh(
     )
 
 
+def _centroid_score_sql(
+    c_id: int, vec: list[float], vec_col: str = VEC_COL, round_to: int = 6
+) -> str:
+    """SQL for the rounded cosine between ``vec_col`` and ONE codebook
+    centroid inlined as plan literals (repr round-trips doubles exactly,
+    so the oracle's table-sourced doubles match bit-for-bit). Shared by
+    cell assignment and probe ranking — the two must never diverge."""
+    arr = "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+    nrm = sum(float(x) * float(x) for x in vec) ** 0.5
+    return (
+        f"round(aggregate(zip_with({vec_col}, {arr},"
+        f" (x, y) -> cast(x as double) * y),"
+        f" cast(0.0 as double), (acc, v) -> acc + v) / (norm * {nrm!r}D), {round_to})"
+    )
+
+
 def ivf_assign_cells(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -176,16 +192,11 @@ def ivf_assign_cells(
     |codebook| fused dot products + an argmax fold. Cosine is rounded
     to ``round_to`` with smaller centroid id winning ties, so any
     engine reproduces the same assignment bit-for-bit."""
-    structs = []
-    for c_id, vec in centroids:
-        arr = "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
-        nrm = sum(float(x) * float(x) for x in vec) ** 0.5
-        structs.append(
-            f"named_struct('c_id', {c_id}L, 'cs',"
-            f" round(aggregate(zip_with({vec_col}, {arr},"
-            f" (x, y) -> cast(x as double) * y),"
-            f" cast(0.0 as double), (acc, v) -> acc + v) / (norm * {nrm!r}D), {round_to}))"
-        )
+    structs = [
+        f"named_struct('c_id', {c_id}L, 'cs',"
+        f" {_centroid_score_sql(c_id, vec, vec_col, round_to)})"
+        for c_id, vec in centroids
+    ]
     scores = "array(" + ", ".join(structs) + ")"
     # argmax fold: best (cs desc, c_id asc) — deterministic tie-break
     return F.expr(
@@ -233,18 +244,13 @@ def ivf_probe_topk(
         F.col("norm").alias("n_norm"), "cell",
     )
     # per-query probe list: rank ALL codebook scores, keep the best
-    # n_probe cells (same literal codebook, still codegen-only)
-    structs = []
-    for c_id, vec in centroids:
-        arr = "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
-        nrm = sum(float(x) * float(x) for x in vec) ** 0.5
-        structs.append(
-            f"named_struct('cs',"
-            f" -round(aggregate(zip_with({VEC_COL}, {arr},"
-            f" (x, y) -> cast(x as double) * y),"
-            f" cast(0.0 as double), (acc, v) -> acc + v) / (norm * {nrm!r}D), {round_to}),"
-            f" 'c_id', {c_id}L)"
-        )
+    # n_probe cells (same shared scoring SQL as assignment, negated so
+    # array_sort's (cs asc, c_id asc) struct order = best-first)
+    structs = [
+        f"named_struct('cs', -{_centroid_score_sql(c_id, vec, VEC_COL, round_to)},"
+        f" 'c_id', {c_id}L)"
+        for c_id, vec in centroids
+    ]
     probes = (
         f"slice(array_sort(array({', '.join(structs)})), 1, {n_probe})"
     )

@@ -1467,7 +1467,9 @@ def streaming_stateful_sessions(spark, sf_dir):
     _os.makedirs(ev_dir)
     shutil.copy(f"{sf_dir}/events.parquet", f"{ev_dir}/events.parquet")
     q = gap_sessionize_stateful(spark, ev_dir, f"{tdir}/ckpt", f"{tdir}/out", schema)
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stateful sessionization did not finish within 600s")
     return spark.read.parquet(f"{tdir}/out").select(
         "user_id", "session_id", "events_in_session", "first_seq", "last_seq"
     )
@@ -1544,7 +1546,9 @@ def streaming_hourly_stats_rollup(spark, sf_dir):
         spark, d, f"{tdir}/ckpt", f"{tdir}/out", schema,
         watermark="2 hours", window="1 hour", max_files_per_trigger=1,
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("watermarked rollup did not finish within 600s")
     return spark.read.parquet(f"{tdir}/out").select(
         "window_start", "event_type", "events", "sum_value", "max_seq"
     )
@@ -1812,13 +1816,12 @@ def cdc_retry_heal_final_state(spark, sf_dir):
             dead_letter=dl,
         )
     # heal the quarantined rows (the reference operator fixing bad data)
+    # through the dead-letter table's own atomic rewrite
     healed = dl.read().withColumn(
         "content", F.concat(F.lit("healed:"), F.col("seq").cast("string"))
     )
-    healed.write.mode("overwrite").parquet(f"{tdir}/dl2")
-    worker = RetryWorker(
-        spark, table, DeadLetterTable(spark, f"{tdir}/dl2"), f"{tdir}/final"
-    )
+    dl.replace(healed)
+    worker = RetryWorker(spark, table, dl, f"{tdir}/final")
     worker.readmit(epoch_id=10)
     return table.read().select("repo", F.col("last_seq"), "content")
 

@@ -67,7 +67,18 @@ class EnvelopeSink:
         self.cloudevents = cloudevents
         try:
             self.log = UnkeyedEventLog.load(spark, path)
-        except Exception:
+        except FileNotFoundError:
+            # create only a MISSING log — a dir with data but no _meta is
+            # a legacy/foreign store, and corrupt metadata must propagate
+            import os
+
+            if os.path.isdir(path) and any(
+                f.endswith(".parquet") for f in os.listdir(path)
+            ):
+                raise ValueError(
+                    f"{path} holds parquet files but no log metadata — "
+                    "not re-initializing over existing emitted messages"
+                )
             self.log = UnkeyedEventLog.create(spark, path)
 
     # ------------------------------------------------------------ emit
@@ -174,7 +185,9 @@ class EnvelopeSink:
             .first()
         )
         return {
-            "messages": int(row["messages"]),
-            "keys": int(row["keys"]),
+            # sums are NULL (not 0) when the committed listing holds only
+            # empty segments — e.g. an epoch where every row was rejected
+            "messages": int(row["messages"] or 0),
+            "keys": int(row["keys"] or 0),
             "violations": int(row["violations"] or 0),
         }

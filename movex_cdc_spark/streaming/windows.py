@@ -130,7 +130,12 @@ def _sessionize_group_impl(
     ``idle_timeout_s`` set (event-time timeout), a key whose watermark
     passes last_ts + timeout FLUSHES its open session and clears its
     state — the 100-TB guard: state size tracks ACTIVE keys, not every
-    key ever seen.
+    key ever seen. The deliberate trade: a key that RETURNS after a
+    timeout flush restarts session_id at 0 (remembering the next id
+    would mean keeping per-key state forever, defeating the bound), so
+    with idle_timeout (user_id, session_id) is unique only per state
+    incarnation — downstream should key on (user_id, first_seq), which
+    is globally unique because event ids are.
 
     All per-row work is vectorized numpy over the Arrow batch: one
     global sort by (ts, event_id) — the same total order the SQL
