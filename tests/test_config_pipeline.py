@@ -315,3 +315,25 @@ def test_dead_letter_append_is_epoch_fenced(spark, tmp_path):
     assert dl.read().count() == 5
     assert dl.append(poison, stream_id="s", epoch_id=8) == 5
     assert dl.read().count() == 10
+
+
+def test_unkeyed_log_crash_between_write_and_commit_recovers(spark, tmp_path):
+    """The ADVICE-medium crash window: data files written, metadata
+    commit never happened. The orphan segment dir must never be listed,
+    and the REPLAYED epoch must succeed (uuid segment names make the
+    rewrite collision-free) with exactly-once content."""
+    import os
+
+    log = UnkeyedEventLog.create(spark, str(tmp_path / "ulog"))
+    df = spark.range(10).selectExpr("id", "cast(id as string) AS v")
+    # simulate the crashed attempt: a segment dir for the NEXT version
+    # exists on disk but was never committed
+    orphan = str(tmp_path / "ulog" / "seg-1-deadbeef")
+    df.write.parquet(orphan)
+    # replay of the same epoch: must not collide with the orphan
+    r = log.append(df, stream_id="s", epoch_id=0)
+    assert not r.get("skipped") and r["version"] == 1
+    assert log.read().count() == 10  # orphan rows are NOT double-counted
+    assert os.path.isdir(orphan)  # orphan simply stays unlisted
+    listed_dirs = {f.split(os.sep)[0] for f in log.meta()["files"]}
+    assert "seg-1-deadbeef" not in listed_dirs
