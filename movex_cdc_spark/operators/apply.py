@@ -60,10 +60,12 @@ def _filter_validate_project(
     else:
         df = condition_filter(events, condition_sql or default_exclude_condition())
     df = suppress_noop_updates(df)
-    # NOTE: deliberately NOT persisted. The poison chain re-scans the
-    # batch, but with column pruning that second scan is cheaper than
-    # caching a multi-GB batch in executor memory (measured: caching
-    # 16M rows cost more in GC/memory pressure than the rescan saved).
+    # NOTE: deliberately NOT persisted HERE. The poison chain re-scans
+    # the batch; for micro-batches the streaming pipeline persists the
+    # parsed batch around this whole chain (MEMORY_AND_DISK, +15%
+    # measured), while full-backlog batch replays are cheaper re-scanned
+    # (measured: MEMORY_ONLY caching of 16M rows cost more in GC/memory
+    # pressure than the rescan saved).
     valid, poison = split_poison(df)
     if table_cfg is not None:
         # P1/P2 projection + column_expressions (may reference ts/txid/

@@ -101,8 +101,25 @@ class CdcStreamPipeline:
         return self.config.tables[name]
 
     def _apply(self, batch_df, epoch_id: int) -> None:
+        from pyspark import StorageLevel
+
         if self.payload_format:
             batch_df = parse_payload_events(batch_df)
+        # One micro-batch feeds up to four scans (envelope emit, poison
+        # quarantine, LWW+merge / unkeyed append) — persist the PARSED
+        # batch so each reads columnar memory instead of re-running the
+        # JSON parse. MEMORY_AND_DISK: an oversized batch spills instead
+        # of GC-thrashing (measured +15% on the 4×1M-epoch bench; a
+        # MEMORY_ONLY cache of a 16M-row full backlog measured WORSE in
+        # round 1, which is why batch-replay callers of apply_batch on
+        # full backlogs do not persist).
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            self._apply_inner(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _apply_inner(self, batch_df, epoch_id: int) -> None:
         cfg = self._table_cfg()
         if self.envelope_sink is not None:
             valid, _poison = _filter_validate_project(
