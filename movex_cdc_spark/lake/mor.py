@@ -50,7 +50,9 @@ class MergeOnReadTable:
         self.spark = base.spark
         try:
             self.delta = UnkeyedEventLog.load(self.spark, delta_path)
-        except Exception:
+        except FileNotFoundError:
+            # only a MISSING delta may be created; corrupt metadata must
+            # propagate rather than silently shadowing buffered changes
             self.delta = UnkeyedEventLog.create(self.spark, delta_path)
         self.compact_rows = compact_rows
 
@@ -183,10 +185,21 @@ class MergeOnReadTable:
             stream_id=COMPACT_STREAM,
             epoch_id=dv,
         )
-        # truncate: drop the file list, KEEP the per-stream epoch fences
+        # truncate: drop the file list, KEEP the per-stream epoch fences.
+        # The drained segment dirs are RETIRED (still on disk for any
+        # reader that planned against the old listing) and reaped by
+        # expire_segments after the retention window — without the
+        # retired record they would leak on disk forever.
+        import os as _os
+
         m = self.delta.meta()
+        old_dirs = sorted({f.split(_os.sep, 1)[0] for f in m["files"]})
+        m["retired"] = list(m.get("retired", [])) + [
+            {"dir": d, "at_version": m["version"] + 1} for d in old_dirs
+        ]
         m["files"] = []
         m["rows"] = 0
         self._rewrite_meta(m)
+        lin["segments_expired"] = self.delta.expire_segments(keep_last=2)
         lin["mode"] = "compaction"
         return lin

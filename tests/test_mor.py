@@ -153,3 +153,32 @@ def test_apply_batch_through_mor(spark, tmp_path):
                     how="outer", indicator=True, suffixes=("_e", "_o"))
     assert (m["_merge"] == "both").all()
     assert (m["content_sha_e"] == m["content_sha_o"]).all()
+
+
+def test_compaction_retires_and_expires_delta_segments(spark, tmp_path):
+    """Drained delta segments must not leak on disk forever: compaction
+    RETIRES them (readers with the old listing keep working) and
+    expire_segments reaps them past the retention window."""
+    import os
+
+    base = LakeTable.create(
+        spark, str(tmp_path / "base"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4
+    )
+    mor = MergeOnReadTable(base, str(tmp_path / "delta"), compact_rows=10**12)
+    cols = ["seq", "repo", "path", "commit", "lang", "content", "old_content", "op"]
+    for i in range(3):
+        rows = [(10 * i + j, f"r{j}", "p", "c", "py", f"v{i}", None, "U")
+                for j in range(4)]
+        apply_batch(mor, spark.createDataFrame(pd.DataFrame(rows, columns=cols)),
+                    epoch_id=i)
+    seg_dirs = {f.split(os.sep)[0] for f in mor.delta.meta()["files"]}
+    assert len(seg_dirs) == 3
+    r = mor.compact()
+    assert r["mode"] == "compaction"
+    # within retention (keep_last=2 at compact): dirs still on disk
+    for d in seg_dirs:
+        assert os.path.isdir(tmp_path / "delta" / d)
+    assert mor.delta.expire_segments(keep_last=0) == 3
+    for d in seg_dirs:
+        assert not os.path.isdir(tmp_path / "delta" / d)
+    assert mor.read().count() == 4  # state unaffected by expiry
