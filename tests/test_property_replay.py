@@ -132,3 +132,103 @@ def test_epoch_cut_is_irrelevant(spark, _tables, events):
         }
 
     assert run(1) == run(3)
+
+
+class _FakeState:
+    """Minimal GroupState double for driving _sessionize_group_impl
+    directly (the hook is a pure function of chunks + state)."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+# per-user event stream: (gap-to-previous seconds, id-shuffle salt);
+# gaps hug the 3600 s session boundary on purpose
+session_stream = st.lists(
+    st.tuples(st.sampled_from([0, 1, 3599, 3600, 3601, 7200]),
+              st.integers(min_value=0, max_value=2)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=50, deadline=None, derandomize=True)
+@given(stream=session_stream, n_batches=st.integers(min_value=1, max_value=4))
+def test_sessionizer_hook_matches_fold(stream, n_batches):
+    from movex_cdc_spark.streaming.windows import (
+        SESSION_GAP_US,
+        _sessionize_group_impl,
+    )
+
+    base_us = 1_700_000_000_000_000
+    ts_us, t = [], base_us
+    for gap_s, _salt in stream:
+        t += gap_s * 1_000_000
+        ts_us.append(t)
+    # event ids scrambled vs time so (ts, event_id) tie-breaks matter
+    ids = [(i * 7) % len(ts_us) for i in range(len(ts_us))]
+
+    def chunk_df(idx):
+        return pd.DataFrame({
+            "ts": pd.to_datetime([ts_us[i] * 1000 for i in idx]),
+            "event_id": [ids[i] for i in idx],
+            "user_id": 1,
+        })
+
+    # mirror: sort by (ts, id), close a session on gap > 3600 s
+    order = sorted(range(len(ts_us)), key=lambda i: (ts_us[i], ids[i]))
+    sessions, cur = [], [order[0]]
+    for prev, i in zip(order, order[1:]):
+        if ts_us[i] - ts_us[prev] > SESSION_GAP_US:
+            sessions.append(cur)
+            cur = [i]
+        else:
+            cur.append(i)
+    sessions.append(cur)
+    expected_closed = [
+        (1, sid, len(s), ids[s[0]], ids[s[-1]])
+        for sid, s in enumerate(sessions[:-1])
+    ]
+
+    # drive the hook batch by batch, TIME-ordered batches (the asserted
+    # cross-batch contract), shuffled inside each batch
+    state = _FakeState()
+    emitted = []
+    step = (len(order) + n_batches - 1) // n_batches
+    for b in range(n_batches):
+        batch_idx = order[b * step:(b + 1) * step]
+        if not batch_idx:
+            continue
+        shuffled = list(reversed(batch_idx))  # within-batch order is free
+        for out in _sessionize_group_impl((1,), iter([chunk_df(shuffled)]), state, None):
+            emitted.extend(map(tuple, out.itertuples(index=False)))
+    assert emitted == expected_closed
+    # the open session is exactly the mirror's last one, held in state
+    sid, last_ts, n, first_seq, last_seq = state.get
+    last = sessions[-1]
+    assert (sid, n, first_seq, last_seq) == (
+        len(sessions) - 1, len(last), ids[last[0]], ids[last[-1]]
+    )
+    assert last_ts == ts_us[last[-1]]
