@@ -31,10 +31,16 @@ def get_spark(
     # from data volume (target ~128-256 MB per shuffle partition) and
     # AQE coalesces the excess at runtime.
     shuffle_partitions = shuffle_partitions or max(32, cpus * 2)
+    b = SparkSession.builder.appName(app_name)
+    # defer to a cluster manager when one is configured (spark-submit
+    # --master yarn/k8s sets spark.master before Python starts); only
+    # a bare python/pytest invocation gets the local[] default.
+    from pyspark import SparkConf
+
+    if SparkConf().get("spark.master", None) is None:
+        b = b.master(f"local[{cpus}]")
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,115 @@
+"""Cluster entry point for the CDC pipeline (the north rule's
+``spark-submit --py-files`` launch path).
+
+    # package the engine once
+    (cd /path/to/repo && zip -qr /tmp/movex_cdc_spark.zip movex_cdc_spark)
+
+    spark-submit --master yarn --deploy-mode cluster \\
+        --py-files /tmp/movex_cdc_spark.zip \\
+        run_pipeline.py \\
+        --events-dir  s3://bucket/events_json \\
+        --table-dir   s3://bucket/lake/repo_files \\
+        --checkpoint-dir s3://bucket/ckpt/repo_files \\
+        --dead-letter-dir s3://bucket/dl/repo_files \\
+        --metrics-dir s3://bucket/metrics/repo_files \\
+        --config      conf/capture.json \\
+        --payload-format --salted --buckets 4096
+
+Locally (tests/bench) the same script runs on ``local[N]`` — the
+session factory only sets a local master when spark-submit has not
+already configured one. ``--available-now`` (default) drains the
+backlog exactly-once and exits; ``--trigger '30 seconds'`` runs a
+continuous micro-batch stream until signalled.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--events-dir", required=True, help="change-event source directory")
+    p.add_argument("--table-dir", required=True, help="lake table root (created if missing)")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--dead-letter-dir", default=None)
+    p.add_argument("--metrics-dir", default=None)
+    p.add_argument("--config", default=None, help="EngineConfig JSON path (capture config)")
+    p.add_argument("--table-name", default=None, help="table entry in the config to apply")
+    p.add_argument("--buckets", type=int, default=256, help="hash buckets for a NEW table")
+    p.add_argument("--salted", action="store_true", help="two-phase LWW for hot keys")
+    p.add_argument("--payload-format", action="store_true",
+                   help="source rows are Event_Logs-shaped (msg_key + JSON payload)")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--mor", action="store_true",
+                   help="merge-on-read delta path (tiny frequent epochs)")
+    p.add_argument("--compact-rows", type=int, default=1_000_000)
+    p.add_argument("--trigger", default=None,
+                   help="processing-time interval for a continuous run, e.g. '30 seconds'")
+    p.add_argument("--timeout-s", type=int, default=3600,
+                   help="available-now drain timeout")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from movex_cdc_spark.config.table_config import EngineConfig
+    from movex_cdc_spark.lake.mor import MergeOnReadTable
+    from movex_cdc_spark.lake.table import LakeTable
+    from movex_cdc_spark.operators.apply import KEY_COLS, REPO_FILES_SCHEMA
+    from movex_cdc_spark.session import get_spark
+    from movex_cdc_spark.streaming.housekeeping import Heartbeat
+    from movex_cdc_spark.streaming.pipeline import CdcStreamPipeline
+
+    spark = get_spark(app_name="movex-cdc-pipeline")
+    try:
+        table = LakeTable.load(spark, args.table_dir)
+    except FileNotFoundError:
+        table = LakeTable.create(
+            spark, args.table_dir, REPO_FILES_SCHEMA, KEY_COLS, n_buckets=args.buckets
+        )
+    sink = (
+        MergeOnReadTable(table, args.table_dir + "_delta", compact_rows=args.compact_rows)
+        if args.mor
+        else table
+    )
+    config = EngineConfig.load(args.config) if args.config else None
+
+    # single-writer guard on the checkpoint home (reference heartbeat.rb)
+    hb = Heartbeat(args.checkpoint_dir.rstrip("/") + "_home")
+    import os
+
+    os.makedirs(args.checkpoint_dir.rstrip("/") + "_home", exist_ok=True)
+    hb.beat()
+
+    pipe = CdcStreamPipeline(
+        spark,
+        sink,
+        events_dir=args.events_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        dead_letter_dir=args.dead_letter_dir,
+        metrics_dir=args.metrics_dir,
+        salted=args.salted,
+        max_files_per_trigger=args.max_files_per_trigger,
+        payload_format=args.payload_format,
+        config=config,
+        table_name=args.table_name,
+    )
+    if args.trigger:
+        q = pipe.start(available_now=False, processing_time=args.trigger)
+        q.awaitTermination()
+    else:
+        epochs = pipe.run_available_now(timeout_s=args.timeout_s)
+        applied = [e for e in epochs if not e.get("skipped")]
+        print(
+            f"drained {len(epochs)} epochs ({len(applied)} applied, "
+            f"{len(epochs) - len(applied)} fenced replays); "
+            f"table version {table.current_version()}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
