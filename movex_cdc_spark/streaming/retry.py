@@ -55,13 +55,26 @@ class RetryWorker:
 
         # re-validate: a row is healed iff it now passes the same check
         # that quarantined it (content present for I/U)
-        healed = eligible.filter(
-            F.col("content").isNotNull() | (F.col("op") == "D")
-        ).select(*[c for c in EVENT_COLS if c in df.columns])
-        still_bad = eligible.filter(F.col("content").isNull() & (F.col("op") != "D"))
+        healed_pred = F.col("content").isNotNull() | (F.col("op") == "D")
+        healed = eligible.filter(healed_pred).select(
+            *[c for c in EVENT_COLS if c in df.columns]
+        )
+        still_bad = eligible.filter(~healed_pred)
 
-        n_healed = healed.count()
-        n_still = still_bad.count()  # counted BEFORE the swap below invalidates lineage
+        # ONE aggregate over the (small) dead-letter store for all three
+        # decision counts — counted BEFORE the swap below invalidates
+        # this read's lineage
+        counts = eligible.agg(
+            F.sum(F.when(healed_pred, 1).otherwise(0)).alias("healed"),
+            F.sum(F.when(~healed_pred, 1).otherwise(0)).alias("still"),
+            F.sum(
+                F.when(~healed_pred & (F.col("retry_count") + 1 > self.max_retries), 1)
+                .otherwise(0)
+            ).alias("final"),
+        ).first()
+        n_healed = int(counts["healed"] or 0)
+        n_still = int(counts["still"] or 0)
+        n_final = int(counts["final"] or 0)
         if n_healed:
             apply_batch(self.table, healed, epoch_id=epoch_id, stream_id=stream_id)
 
@@ -74,7 +87,6 @@ class RetryWorker:
             .withColumn("retry_count", F.col("retry_count") + 1)
             .withColumn("last_error_time", F.current_timestamp())
         )
-        n_final = exhausted.count()
         if n_final:
             (
                 exhausted.withColumn("error_time", F.current_timestamp())
