@@ -152,10 +152,18 @@ class UnkeyedEventLog:
         }
 
     # -------------------------------------------------------- rewrite
-    def _swap_listing(self, m: dict, new_files: list[str], schema: dict) -> dict[str, Any]:
+    def _swap_listing(
+        self,
+        m: dict,
+        new_files: list[str],
+        schema: dict,
+        extra: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
         """Commit a full-listing swap: the old segments become RETIRED
         (still on disk for in-flight readers) and are reaped later by
-        expire_segments — never deleted inside the commit."""
+        expire_segments — never deleted inside the commit. ``extra``
+        merges additional metadata keys into the SAME atomic commit
+        (e.g. the MoR delta's row counter reset)."""
         old_dirs = sorted({f.split(os.sep, 1)[0] for f in m["files"]})
         m2 = dict(m)
         m2["version"] = m["version"] + 1
@@ -164,6 +172,8 @@ class UnkeyedEventLog:
         m2["retired"] = list(m.get("retired", [])) + [
             {"dir": d, "at_version": m2["version"]} for d in old_dirs
         ]
+        if extra:
+            m2.update(extra)
         self._write_version(m2)
         return {"version": m2["version"], "files_before": len(m["files"]),
                 "files_after": len(new_files)}

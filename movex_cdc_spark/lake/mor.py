@@ -45,7 +45,13 @@ class MergeOnReadTable:
     """LakeTable-compatible facade: ``merge`` appends to the delta and
     auto-compacts past ``compact_rows``; ``read`` resolves base ∪ delta."""
 
-    def __init__(self, base: LakeTable, delta_path: str, compact_rows: int = 1_000_000):
+    def __init__(
+        self,
+        base: LakeTable,
+        delta_path: str,
+        compact_rows: int = 1_000_000,
+        expire_keep_last: int = 8,
+    ):
         self.base = base
         self.spark = base.spark
         try:
@@ -55,6 +61,10 @@ class MergeOnReadTable:
             # propagate rather than silently shadowing buffered changes
             self.delta = UnkeyedEventLog.create(self.spark, delta_path)
         self.compact_rows = compact_rows
+        # reader-retention window for drained delta segments, in delta
+        # METADATA VERSIONS (each epoch advances two: append + counter);
+        # widen for deployments with slow concurrent readers
+        self.expire_keep_last = expire_keep_last
 
     # -------------------------------------------------------- helpers
     def _delta_rows(self) -> int:
@@ -186,20 +196,15 @@ class MergeOnReadTable:
             epoch_id=dv,
         )
         # truncate: drop the file list, KEEP the per-stream epoch fences.
-        # The drained segment dirs are RETIRED (still on disk for any
-        # reader that planned against the old listing) and reaped by
-        # expire_segments after the retention window — without the
-        # retired record they would leak on disk forever.
-        import os as _os
-
+        # The drained segment dirs are RETIRED by the log's own listing
+        # swap (still on disk for any reader that planned against the
+        # old listing; the rows-counter reset rides the same atomic
+        # commit) and reaped past the configured retention window —
+        # without the retired record they would leak on disk forever.
         m = self.delta.meta()
-        old_dirs = sorted({f.split(_os.sep, 1)[0] for f in m["files"]})
-        m["retired"] = list(m.get("retired", [])) + [
-            {"dir": d, "at_version": m["version"] + 1} for d in old_dirs
-        ]
-        m["files"] = []
-        m["rows"] = 0
-        self._rewrite_meta(m)
-        lin["segments_expired"] = self.delta.expire_segments(keep_last=2)
+        self.delta._swap_listing(m, [], m.get("schema"), extra={"rows": 0})
+        lin["segments_expired"] = self.delta.expire_segments(
+            keep_last=self.expire_keep_last
+        )
         lin["mode"] = "compaction"
         return lin

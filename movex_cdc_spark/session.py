@@ -32,13 +32,17 @@ def get_spark(
     # AQE coalesces the excess at runtime.
     shuffle_partitions = shuffle_partitions or max(32, cpus * 2)
     b = SparkSession.builder.appName(app_name)
-    # defer to a cluster manager when one is configured (spark-submit
-    # --master yarn/k8s sets spark.master before Python starts); only
-    # a bare python/pytest invocation gets the local[] default.
-    from pyspark import SparkConf
-
-    if SparkConf().get("spark.master", None) is None:
-        b = b.master(f"local[{cpus}]")
+    # Defer to the cluster manager when launched via spark-submit: its
+    # PythonRunner starts the JVM first (--master already applied) and
+    # hands the Py4J gateway to Python through PYSPARK_GATEWAY_PORT —
+    # the one signal visible BEFORE any SparkContext exists. A bare
+    # python/pytest invocation has no gateway yet and gets the local[]
+    # default unconditionally (probing SparkConf() instead is wrong in
+    # both directions: empty before the JVM exists, and sticky with the
+    # PREVIOUS session's master after a stop(), which would silently
+    # pin every later get_spark(cpus=N) in the process to the first N).
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        b = b.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
     b = (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -4,22 +4,32 @@
     # package the engine once
     (cd /path/to/repo && zip -qr /tmp/movex_cdc_spark.zip movex_cdc_spark)
 
-    spark-submit --master yarn --deploy-mode cluster \\
+    spark-submit --master yarn --deploy-mode client \\
         --py-files /tmp/movex_cdc_spark.zip \\
         run_pipeline.py \\
-        --events-dir  s3://bucket/events_json \\
-        --table-dir   s3://bucket/lake/repo_files \\
-        --checkpoint-dir s3://bucket/ckpt/repo_files \\
-        --dead-letter-dir s3://bucket/dl/repo_files \\
-        --metrics-dir s3://bucket/metrics/repo_files \\
+        --events-dir  /mnt/shared/events_json \\
+        --table-dir   /mnt/shared/lake/repo_files \\
+        --checkpoint-dir /mnt/shared/ckpt/repo_files \\
+        --dead-letter-dir /mnt/shared/dl/repo_files \\
+        --metrics-dir /mnt/shared/metrics/repo_files \\
         --config      conf/capture.json \\
         --payload-format --salted --buckets 4096
 
+Storage contract: the lake/log METADATA layer commits through POSIX
+atomic rename (open/os.replace), so ``--table-dir`` and friends must be
+on a filesystem every driver restart can reach with rename semantics —
+a cluster-shared mount (NFS/Lustre/FUSE) or local disk for single-node
+runs. Object stores (s3://) would need the Hadoop FileSystem API in the
+metadata layer; the parquet DATA files already go through Spark's
+writers and are store-agnostic. Same class of sandbox note as the
+Iceberg-jar substitution (lake/table.py).
+
 Locally (tests/bench) the same script runs on ``local[N]`` — the
-session factory only sets a local master when spark-submit has not
-already configured one. ``--available-now`` (default) drains the
-backlog exactly-once and exits; ``--trigger '30 seconds'`` runs a
-continuous micro-batch stream until signalled.
+session factory sets a local master only when not launched through
+spark-submit. The default mode drains the backlog exactly-once and
+exits; ``--trigger '30 seconds'`` runs a continuous micro-batch stream
+until signalled, re-beating the single-writer heartbeat between
+triggers.
 """
 
 from __future__ import annotations
@@ -99,7 +109,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.trigger:
         q = pipe.start(available_now=False, processing_time=args.trigger)
-        q.awaitTermination()
+        # keep the single-writer claim alive for the whole run — a
+        # one-shot beat would expire after stale_s and let a second
+        # instance start mid-stream (the reference heartbeats on a timer)
+        while not q.awaitTermination(30):
+            hb.beat()
     else:
         epochs = pipe.run_available_now(timeout_s=args.timeout_s)
         applied = [e for e in epochs if not e.get("skipped")]
