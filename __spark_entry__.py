@@ -29,22 +29,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus the ONE deliberate overflow in _DEPRIORITIZED below — adding a
 # query means choosing another overflow row, not just appending.
 _PRIORITY = [
-    "cdc_sessionization",          # red r1, outside the r2 window
-    "cdc_json_payload_parse",      # green r1, outside the r2 window
-    "q6_selective_filter_agg",     # green r1, outside the r2 window
-    "distinct_count_per_group",    # green r1, outside the r2 window
-    "streaming_stateful_sessions",  # red r2 (fixed this round)
-    "multimodal_features",         # red r2 (fixed this round)
-    "dedup_duplicate_groups",      # red r2 (fixed this round)
-    "streaming_hourly_stats",      # new this round
-    "text_analysis_battery",       # new this round (merges 4 green rows)
-    "ann_ivf_probe",               # new this round (IVF scale path)
+    "cdc_sessionization",          # red r1-r3; oracle HUGEINT cast fixed this round
+    "streaming_stateful_sessions",  # red r2-r3; same oracle cast fixed this round
+    "ann_lsh_bucketed",            # green r1+r2, rotated back in (r3 overflow slot)
 ]
 
-# Deliberate overflow past a 50-query driver cap: green in rounds 1 AND
-# 2, and its family (sign-LSH bucketed ANN) stays driver-verified via
-# ann_random_projection_lsh; pytest still covers it every round.
-_DEPRIORITIZED = ["ann_lsh_bucketed"]
+# Deliberate overflow past a 50-query driver cap. Each is multi-round
+# driver-green (q6 r1+r3, distinct_count r1+r3), its operator family
+# stays driver-verified by sibling rows (q1/q5 filters+aggs,
+# window_topk_per_group / cdc_per_key_order_stats group counts), and
+# pytest covers both every round.
+_DEPRIORITIZED = ["q6_selective_filter_agg", "distinct_count_per_group"]
 
 
 def _ordered() -> list[str]:

@@ -1421,8 +1421,8 @@ def cdc_schema_evolution(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT user_id, event_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
       FROM d),
     agg AS (
       SELECT user_id, session_id,
@@ -1997,8 +1997,8 @@ def cdc_json_payload_parse(spark, sf_dir):
       FROM events),
     s AS (
       SELECT user_id, event_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM d)
     SELECT user_id, session_id, count(*) AS events_in_session,
            min(event_id) AS first_seq, max(event_id) AS last_seq

@@ -45,11 +45,18 @@ class RetryWorker:
         df = self.dl.read()
         if df is None:
             return {"eligible": 0}
+        # Pin ONE wall-clock instant for the whole pass. readmit runs up
+        # to four Spark actions (counts agg, heal merge, exhausted write,
+        # dl.replace rewrite); F.current_timestamp() is re-evaluated per
+        # action, so a row whose backoff expired between actions would be
+        # counted eligible+healed yet dropped from the rewrite — silent
+        # row loss. F.lit(now) classifies identically in every action.
+        now = self.spark.sql("select current_timestamp() AS ts").first()["ts"]
         backoff = F.expr(
             f"last_error_time + make_interval(0,0,0,0,0,0,"
             f" {self.start_delay_s} * pow(3, retry_count - 1))"
         )
-        eligible_pred = (F.col("retry_count") == 0) | (backoff < F.current_timestamp())
+        eligible_pred = (F.col("retry_count") == 0) | (backoff < F.lit(now))
         eligible = df.filter(eligible_pred)
         waiting = df.filter(~eligible_pred)
 
@@ -85,11 +92,11 @@ class RetryWorker:
         retrying = (
             still_bad.filter(F.col("retry_count") + 1 <= self.max_retries)
             .withColumn("retry_count", F.col("retry_count") + 1)
-            .withColumn("last_error_time", F.current_timestamp())
+            .withColumn("last_error_time", F.lit(now))
         )
         if n_final:
             (
-                exhausted.withColumn("error_time", F.current_timestamp())
+                exhausted.withColumn("error_time", F.lit(now))
                 .write.mode("append")
                 .parquet(self.final_errors_dir)
             )

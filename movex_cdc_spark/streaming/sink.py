@@ -160,8 +160,13 @@ class EnvelopeSink:
             return {"messages": 0, "keys": 0, "violations": 0}
         # epoch attribution: segment dirs are committed per epoch in
         # ascending version order; map file -> commit version (dir name
-        # is seg-<version>-<uuid>)
-        seg = F.regexp_extract(F.input_file_name(), r"seg-(\d+)", 1).cast("long")
+        # is seg-<version>-<uuid>). Anchored to the uuid suffix + '/':
+        # an unanchored 'seg-(\d+)' would match a parent directory named
+        # seg-<digits> anywhere in the log path and attribute EVERY file
+        # to that one bogus epoch, silently hiding ordering violations.
+        seg = F.regexp_extract(
+            F.input_file_name(), r"seg-(\d+)-[0-9a-f]{8}/", 1
+        ).cast("long")
         per_epoch = (
             df.withColumn("__seg", seg)
             .groupBy("msg_key", "__seg")

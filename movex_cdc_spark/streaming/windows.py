@@ -45,6 +45,16 @@ SESSION_OUTPUT = T.StructType(
     ]
 )
 
+# NOTE (state-store compatibility): round 3 changed this schema —
+# `last_ts` DoubleType (float seconds) became `last_ts_us` LongType
+# (integer microseconds, for exact gap arithmetic). Spark's state store
+# pins the state schema at checkpoint creation: resuming a sessionizer
+# checkpoint written under the OLD schema fails the state-schema
+# compatibility check (or would misread carried bytes). There is no
+# in-place migration path for applyInPandasWithState state — restart
+# such streams with a FRESH checkpoint dir; the source replays from the
+# log and the fenced sink (lake/table.py epoch fence) makes the replay
+# exactly-once, so no output is lost or duplicated.
 SESSION_STATE = T.StructType(
     [
         T.StructField("session_id", T.LongType()),

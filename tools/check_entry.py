@@ -63,14 +63,32 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
 
 
-def _safe_hash(df: pd.DataFrame) -> str:
-    """value_hash that degrades to a per-frame sentinel on an array
-    cell deeper than the _has_array_cells scan prefix — one query fails,
-    the check run continues."""
-    try:
-        return value_hash(df)
-    except TypeError:
-        return f"ARRAY-CELL-{id(df)}"
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse pandas dtype kinds into the classes the driver's
+    canonicalizer renders differently: int (i/u), float (f), other."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    return "other"
+
+
+def _cross_dtype_cols(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Columns where one side is integer-typed and the other float-typed.
+
+    The driver canonicalizer stringifies int64 21 and float64 21.0
+    differently, so such a column ALWAYS hash-mismatches driver-side even
+    when values are numerically identical (round-3 lesson: DuckDB returns
+    windowed integer sum() as HUGEINT -> pandas float64 while Spark
+    returns int64; _norm_cell's integral-float collapse masked it locally
+    for two straight rounds)."""
+    bad = []
+    for c in a.columns:
+        ka, kb = _dtype_kind(a[c]), _dtype_kind(b[c])
+        if {ka, kb} == {"int", "float"}:
+            bad.append(f"{c} ({ka} vs {kb})")
+    return bad
 
 
 def main(names: list[str] | None = None) -> int:
@@ -112,14 +130,28 @@ def main(names: list[str] | None = None) -> int:
             problems.append(f"cols {sorted(spdf.columns)} != {sorted(opdf.columns)}")
         elif _has_array_cells(spdf) or _has_array_cells(opdf):
             problems.append("array-valued column (driver canon crashes on lists)")
-        elif _safe_hash(spdf) != _safe_hash(opdf):
-            problems.append("value hash mismatch")
-            s = spdf[sorted(spdf.columns)].astype(str).sort_values(list(sorted(spdf.columns))).reset_index(drop=True)
-            o = opdf[sorted(opdf.columns)].astype(str).sort_values(list(sorted(opdf.columns))).reset_index(drop=True)
-            diff = (s != o).any(axis=1) if len(s) == len(o) else None
-            if diff is not None and diff.any():
-                i = diff.idxmax()
-                problems.append(f"first diff row {i}: spark={s.iloc[i].tolist()} oracle={o.iloc[i].tolist()}")
+        else:
+            cross = _cross_dtype_cols(spdf, opdf)
+            if cross:
+                problems.append(
+                    "cross-dtype column(s) " + ", ".join(cross)
+                    + " — driver canon renders 21 vs 21.0 (cast the oracle, e.g. ::BIGINT)"
+                )
+            try:
+                mismatch = value_hash(spdf) != value_hash(opdf)
+            except TypeError:
+                # array cell deeper than the _has_array_cells scan prefix —
+                # report the real cause, never compare opaque sentinels
+                problems.append("array-valued column past row-50 scan (driver canon crashes on lists)")
+                mismatch = False
+            if mismatch:
+                problems.append("value hash mismatch")
+                s = spdf[sorted(spdf.columns)].astype(str).sort_values(list(sorted(spdf.columns))).reset_index(drop=True)
+                o = opdf[sorted(opdf.columns)].astype(str).sort_values(list(sorted(opdf.columns))).reset_index(drop=True)
+                diff = (s != o).any(axis=1) if len(s) == len(o) else None
+                if diff is not None and diff.any():
+                    i = diff.idxmax()
+                    problems.append(f"first diff row {i}: spark={s.iloc[i].tolist()} oracle={o.iloc[i].tolist()}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures += 1
