@@ -32,6 +32,7 @@ _PRIORITY = [
     "cdc_sessionization",          # red r1-r3; oracle HUGEINT cast fixed this round
     "streaming_stateful_sessions",  # red r2-r3; same oracle cast fixed this round
     "ann_lsh_bucketed",            # green r1+r2, rotated back in (r3 overflow slot)
+    "streaming_idle_timeout_sessions",  # new this round (state-bound sessionizer)
 ]
 
 # Deliberate overflow past a 50-query driver cap. Each is multi-round

@@ -324,11 +324,6 @@ class LakeTable:
 
         tgt = self.read_raw(buckets=touched)
 
-        joined = tgt.alias("t").join(
-            src.alias("s"),
-            on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
-            how="full_outer",
-        )
         t_seq = F.col(f"t.{SEQ_COL}")
         s_seq = F.col("s.__s_seq")
         s_wins = t_seq.isNull() | (s_seq.isNotNull() & (s_seq > t_seq))
@@ -350,7 +345,43 @@ class LakeTable:
             .otherwise(F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False)))
             .alias(DELETED_COL)
         )
-        result = joined.select(*cols)
+
+        # Two-branch join, split on key nullness. The main (non-null)
+        # branch joins on PLAIN equality: the LWW aggregate upstream is
+        # already hash-partitioned on the raw key columns, and a plain
+        # equi-join reuses that exchange for the batch side — an
+        # eqNullSafe join would re-shuffle the full deduped batch on
+        # coalesce(key, ...) keys (measured: 3 exchanges vs 2; the
+        # eliminated one moves every merged payload byte again). At 100×
+        # scale that saved shuffle is a full pass over every batch. The
+        # null-key rows (at most a sliver; all hash to ONE bucket) keep
+        # the original null-safe semantics in a separate tiny join —
+        # when the batch has no null keys it degenerates to a
+        # pass-through of the target's null-key rows, whose IS NULL
+        # scan is row-group-skipped by parquet null-count stats.
+        has_null_key = None
+        for k in key_cols:
+            p = F.col(k).isNull()
+            has_null_key = p if has_null_key is None else (has_null_key | p)
+        j_nn = (
+            tgt.filter(~has_null_key)
+            .alias("t")
+            .join(
+                src.filter(~has_null_key).alias("s"),
+                on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_cols],
+                how="full_outer",
+            )
+        )
+        j_nu = (
+            tgt.filter(has_null_key)
+            .alias("t")
+            .join(
+                src.filter(has_null_key).alias("s"),
+                on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
+                how="full_outer",
+            )
+        )
+        result = j_nn.select(*cols).unionByName(j_nu.select(*cols))
 
         # write only the touched buckets into a fresh snapshot dir
         new_version = m["version"] + 1

@@ -121,6 +121,70 @@ def prepare_batch(
     return ready, poison
 
 
+POISON_FLAG = "__poison"
+
+
+def flag_dispositions(
+    events: DataFrame, condition_sql: str | None = None
+) -> DataFrame:
+    """Single-projection disposition pass for the streaming cache:
+    condition filter + no-op suppression applied, poison rows FLAGGED
+    (not split), ``old_content`` dropped — it is only consumed by the
+    no-op check, and at ~the payload's size it is the single biggest
+    column in the micro-batch cache. The caller persists the result and
+    slices valid/poison off the cache with cheap filters, so the JSON
+    parse and the cache write each happen exactly once per micro-batch
+    (previously the full batch was cached old-image and all, and the
+    poison split re-scanned it).
+
+    Only valid for the config-less path: table-config projection and
+    envelope assembly may reference ``old_content``, so the pipeline
+    falls back to caching the full parsed batch when either is present.
+    """
+    df = condition_filter(events, condition_sql or default_exclude_condition())
+    df = suppress_noop_updates(df)
+    bad = F.col("content").isNull() & F.col("op").isin("I", "U")
+    return df.withColumn(POISON_FLAG, bad).drop("old_content")
+
+
+def split_flagged(flagged: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, poison) slices of a ``flag_dispositions`` frame —
+    mirror of ``split_poison`` over the persisted cache."""
+    valid = flagged.filter(~F.col(POISON_FLAG)).drop(POISON_FLAG)
+    poison = (
+        flagged.filter(F.col(POISON_FLAG))
+        .drop(POISON_FLAG)
+        .withColumn("error_msg", F.lit("null content on insert/update"))
+    )
+    return valid, poison
+
+
+def apply_batch_flagged(
+    table: LakeTable,
+    flagged: DataFrame,
+    epoch_id: int | None = None,
+    stream_id: str = "default",
+    dead_letter: "DeadLetterTable | None" = None,
+    metrics: "object | None" = None,
+    lww_mode: str = "maxby",
+) -> dict[str, Any]:
+    """apply_batch over a pre-flagged (cached) micro-batch — the
+    streaming fast path; filters already ran in flag_dispositions."""
+    t0 = time.monotonic()
+    valid, poison = split_flagged(flagged)
+    keep = [c for c in valid.columns if c not in ("old_content", "ts", "txid", "is_noop")]
+    slim = valid.select(*keep)
+    dedup = lww_dedup_maxby(slim, KEY_COLS) if lww_mode == "maxby" else lww_dedup(slim, KEY_COLS)
+    ready = dedup.withColumn(
+        "content_sha",
+        F.when(F.col("content").isNotNull(), sha256_builtin("content")),
+    )
+    return _apply_prepared(
+        table, ready, poison, epoch_id, stream_id, dead_letter, metrics,
+        evolve=True, obs_t0=t0,
+    )
+
+
 def apply_batch(
     table: LakeTable,
     events: DataFrame,

@@ -1,21 +1,30 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride as `binary` columns with a metadata struct;
-per-batch decode / feature-extract / resize / frame-sample run as
-Arrow-batched functions over ``mapInPandas`` — the pattern that scales
-to 100 TB because each task streams record batches and never holds a
-partition in memory.
+per-batch decode / feature-extract / frame-sample run as Arrow-batched
+functions over ``mapInPandas`` — the pattern that scales to 100 TB
+because each task streams record batches and never holds a partition
+in memory.
 
-The actual codec step is STUBBED (no image/audio libraries in this
-container): ``decode_stub`` raises NotImplementedError unless
-``fake=True``, in which case it produces a deterministic fake feature
-vector from the bytes — the Spark-side plumbing (schema, batch
-iteration, partitioning) is real and tested either way.
+The codec step is REAL byte decoding, pure numpy + stdlib:
+
+  * image — binary PPM (P6): ASCII header ``P6\\n<w> <h>\\n255\\n``
+    followed by w*h*3 raw RGB bytes.
+  * audio — RIFF/WAVE, PCM16 mono: the decoder walks RIFF chunks to
+    the ``fmt `` and ``data`` chunks like any real WAV reader.
+  * video — a minimal self-describing container ``VID0`` +
+    little-endian u16 (width, height, n_frames) + raw RGB frames.
+
+Real deployments swap these three decoders for PIL/torchaudio/ffmpeg
+behind the same ``decode`` boundary; the Spark-side plumbing (schema,
+Arrow batch iteration, feature shape) is identical either way.
+Reference analog for the payload type-conversion table:
+db_trigger_generator_oracle.rb:875-914 (RAW/BLOB handling).
 """
 
 from __future__ import annotations
 
-import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -52,54 +61,158 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-
-def synthesize_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
-    rows = []
-    kinds = ["image", "audio", "video"]
-    for i in range(n):
-        payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 5)
-        kind = kinds[i % 3]
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                {"mime": f"{kind}/x-fake", "width": 64 + i, "height": 48 + i, "duration_ms": 1000 * (i % 7)},
-            )
-        )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+_WAV_RATE = 8000
 
 
-def decode_stub(payload: bytes, kind: str, fake: bool) -> np.ndarray:
-    """Codec boundary. Real deployments plug PIL/torchaudio/ffmpeg in
-    here; this container has none, so the real path raises and the
-    deterministic fake derives an 8-dim feature from the bytes."""
-    if not fake:
-        raise NotImplementedError(
-            "media codecs are not available in this environment; "
-            "pass fake=True for the deterministic stand-in"
-        )
-    # hash the lowercase-hex form of the bytes (not the raw bytes) so a
-    # pure-SQL oracle can reproduce the feature: sha256 over VARCHAR is
-    # all DuckDB offers, and hex(payload) is that varchar
-    h = hashlib.sha256(payload.hex().encode()).digest()
-    return (np.frombuffer(h[:32], dtype=np.uint8).reshape(8, 4).sum(axis=1) / 255.0).astype(
-        np.float32
+# --------------------------------------------------------------- encoders
+def encode_ppm(w: int, h: int, pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6). ``pixels`` is a flat uint8 array of w*h*3."""
+    assert pixels.dtype == np.uint8 and pixels.size == w * h * 3
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int = _WAV_RATE) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + PCM16LE mono samples."""
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
     )
 
 
-def extract_features(df: DataFrame, fake: bool = True, batch_hint: int | None = None) -> DataFrame:
+def encode_vid0(w: int, h: int, frames: np.ndarray) -> bytes:
+    """VID0 container: magic + u16 dims/frame-count + raw RGB frames.
+    ``frames`` is a flat uint8 array of n_frames*w*h*3."""
+    assert frames.dtype == np.uint8 and frames.size % (w * h * 3) == 0
+    nf = frames.size // (w * h * 3)
+    return b"VID0" + struct.pack("<HHH", w, h, nf) + frames.tobytes()
+
+
+# --------------------------------------------------------------- decoders
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse binary PPM: magic check, ASCII header scan, raw RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = three whitespace-separated tokens after the magic
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pix = np.frombuffer(payload, dtype=np.uint8, offset=pos)
+    if pix.size != w * h * 3:
+        raise ValueError(f"PPM data size {pix.size} != {w}x{h}x3")
+    return w, h, pix
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Chunk-walking RIFF/WAVE parser for PCM16 mono."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", payload, body)
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise ValueError(f"unsupported WAV format {(fmt, ch, bits)}")
+        elif cid == b"data":
+            data = np.frombuffer(payload, dtype="<i2", offset=body, count=size // 2)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, data
+
+
+def decode_vid0(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    if payload[:4] != b"VID0":
+        raise ValueError("not a VID0 payload")
+    w, h, nf = struct.unpack_from("<HHH", payload, 4)
+    frames = np.frombuffer(payload, dtype=np.uint8, offset=10)
+    if frames.size != nf * w * h * 3:
+        raise ValueError(f"VID0 data size {frames.size} != {nf}x{w}x{h}x3")
+    return w, h, nf, frames
+
+
+def decode(payload: bytes, kind: str) -> tuple[np.ndarray, int, int]:
+    """Codec boundary: real byte parsing per kind. Returns
+    (units, d1, d2) — the decoded sample array plus two decoded header
+    dimensions (image: w, h; audio: rate, n_samples; video: w*h,
+    n_frames). Raises ValueError on a corrupt or mismatched payload."""
+    if kind == "image":
+        w, h, pix = decode_ppm(payload)
+        return pix.astype(np.int64), w, h
+    if kind == "audio":
+        rate, samples = decode_wav(payload)
+        return samples.astype(np.int64), rate, samples.size
+    if kind == "video":
+        w, h, nf, frames = decode_vid0(payload)
+        return frames.astype(np.int64), w * h, nf
+    raise ValueError(f"unknown media kind {kind!r}")
+
+
+# --------------------------------------------------------------- synth
+def synthesize_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic media table with REAL encoded payloads. Content
+    follows closed-form modular sequences so a SQL oracle can reproduce
+    the decoded features without a codec of its own — decoding wrongly
+    (bad offset, wrong endianness, header misparse) breaks the match."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = 16 + (i % 16), 12 + (i % 8)
+            pix = ((i * 97 + np.arange(w * h * 3, dtype=np.int64) * 31) % 256).astype(np.uint8)
+            payload, meta = encode_ppm(w, h, pix), ("image/x-portable-pixmap", w, h, 0)
+        elif kind == "audio":
+            ns = 256 + (i % 32) * 16
+            smp = ((i * 211 + np.arange(ns, dtype=np.int64) * 13) % 4096 - 2048).astype(np.int16)
+            payload, meta = encode_wav(smp), ("audio/wav", None, None, ns * 1000 // _WAV_RATE)
+        else:
+            w, h, nf = 8 + (i % 4), 6 + (i % 3), 2 + (i % 4)
+            j = np.arange(nf * w * h * 3, dtype=np.int64)
+            fr = ((i * 53 + (j // (w * h * 3)) * 101 + (j % (w * h * 3)) * 29) % 256).astype(np.uint8)
+            payload, meta = encode_vid0(w, h, fr), ("video/x-vid0", w, h, nf * 500)
+        rows.append((i, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------- extract
+def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow record-batch
-    streaming; one Python worker call per batch, no per-row overhead
-    at the Spark row level)."""
+    streaming; one Python worker call per batch, no per-row overhead at
+    the Spark row level). The 8-dim feature is integer-exact decoded
+    stats — [n_units, unit_sum, unit_min, unit_max, first, last, d1,
+    d2] — every value < 2^24 so the float32 round-trip is lossless."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode_stub(bytes(p), k, fake)
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            feats = []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                units, d1, d2 = decode(bytes(p), k)
+                feats.append(
+                    np.array(
+                        [units.size, int(units.sum()), int(units.min()),
+                         int(units.max()), int(units[0]), int(units[-1]), d1, d2],
+                        dtype=np.float32,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -115,7 +228,7 @@ def extract_features(df: DataFrame, fake: bool = True, batch_hint: int | None = 
 def frame_sample_plan(df: DataFrame, every_ms: int = 500) -> DataFrame:
     """Frame-sampling *plan* for video rows: computes the frame
     timestamps to decode (pure column math — the expensive decode stays
-    in extract_features behind the stub)."""
+    in extract_features)."""
     return (
         df.filter(F.col("kind") == "video")
         .withColumn(

@@ -717,43 +717,59 @@ def dedup_minhash_lsh(spark, sf_dir):
 @register(
     "multimodal_features",
     """
-    WITH m AS (
-      SELECT i AS media_id,
-             ['image','audio','video'][(i % 3) + 1] AS kind,
-             repeat(sha256('media' || CAST(i AS VARCHAR)), CAST(4 + i % 5 AS INT)) AS payload_hex
-      FROM range(0, 64) t(i)),
-    h AS (SELECT media_id, kind, CAST(length(payload_hex) / 2 AS BIGINT) AS n_bytes,
-                 sha256(payload_hex) AS hex FROM m)
-    SELECT media_id, kind, n_bytes,
-      array_to_string(
-        [CAST(list_sum([ (strpos('0123456789abcdef', substr(hex, 2*(j*4+b)+1, 1))-1)*16
-                       + (strpos('0123456789abcdef', substr(hex, 2*(j*4+b)+2, 1))-1)
-                       for b in range(0,4)]) AS BIGINT)
-         for j in range(0,8)], ',') AS feature_checksum
-    FROM h
+    WITH ids AS (SELECT i FROM range(0, 64) t(i)),
+    img_u AS (
+      SELECT i AS media_id, 'image' AS kind,
+             3 + length(CAST(w AS VARCHAR)) + 1 + length(CAST(h AS VARCHAR)) + 5 + w*h*3 AS n_bytes,
+             [CAST((i*97 + j*31) % 256 AS BIGINT) for j in range(0, w*h*3)] AS u,
+             CAST(w AS BIGINT) AS d1, CAST(h AS BIGINT) AS d2
+      FROM (SELECT i, 16 + (i % 16) AS w, 12 + (i % 8) AS h FROM ids WHERE i % 3 = 0)),
+    aud_u AS (
+      SELECT i AS media_id, 'audio' AS kind, 44 + 2*ns AS n_bytes,
+             [CAST((i*211 + j*13) % 4096 - 2048 AS BIGINT) for j in range(0, ns)] AS u,
+             CAST(8000 AS BIGINT) AS d1, CAST(ns AS BIGINT) AS d2
+      FROM (SELECT i, 256 + (i % 32)*16 AS ns FROM ids WHERE i % 3 = 1)),
+    vid_u AS (
+      SELECT i AS media_id, 'video' AS kind, 10 + nf*w*h*3 AS n_bytes,
+             [CAST((i*53 + (j // (w*h*3))*101 + (j % (w*h*3))*29) % 256 AS BIGINT)
+              for j in range(0, nf*w*h*3)] AS u,
+             CAST(w*h AS BIGINT) AS d1, CAST(nf AS BIGINT) AS d2
+      FROM (SELECT i, 8 + (i % 4) AS w, 6 + (i % 3) AS h, 2 + (i % 4) AS nf
+            FROM ids WHERE i % 3 = 2)),
+    allu AS (SELECT * FROM img_u UNION ALL SELECT * FROM aud_u UNION ALL SELECT * FROM vid_u)
+    SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+           array_to_string(
+             [CAST(len(u) AS VARCHAR), CAST(CAST(list_sum(u) AS BIGINT) AS VARCHAR),
+              CAST(list_min(u) AS VARCHAR), CAST(list_max(u) AS VARCHAR),
+              CAST(u[1] AS VARCHAR), CAST(list_extract(u, len(u)) AS VARCHAR),
+              CAST(d1 AS VARCHAR), CAST(d2 AS VARCHAR)], ',') AS feature_checksum
+    FROM allu
     """,
 )
 def multimodal_features(spark, sf_dir):
-    """Multimodal decode/feature plumbing under the oracle gate: the
-    REAL mapInPandas Arrow-batch path (operators/multimodal.py
-    extract_features) runs over the deterministic synthetic media table;
-    the fake codec derives the feature from sha256 of the payload hex,
-    which the SQL oracle reproduces byte-for-byte. The float32 feature
-    is reduced to its exact integer byte-group checksum (round(f*255)),
-    SERIALIZED to a comma-joined string: the driver's canonicalizer
-    sorts scalar columns only (round-2 lesson — ARRAY cells crash its
-    pandas sort), so both engines emit one flat string."""
+    """Multimodal REAL-codec path under the oracle gate: the synthetic
+    media table carries genuinely ENCODED payloads (binary PPM images,
+    RIFF/WAVE PCM16 audio, a VID0 raw-frame container), and the
+    mapInPandas Arrow-batch path (operators/multimodal.py) decodes the
+    BYTES — magic validation, ASCII/RIFF-chunk header parsing, numpy
+    frombuffer — then emits integer-exact decoded stats as the feature.
+    The oracle regenerates the encoded sample sequences from their
+    closed-form definition and computes the same stats, so any decode
+    defect (wrong data offset, endianness, header misparse) breaks the
+    value hash. The float32 feature round-trips exactly (every stat
+    < 2^24) and is SERIALIZED to one comma-joined string: the driver's
+    canonicalizer sorts scalar columns only (round-2 lesson — ARRAY
+    cells crash its pandas sort)."""
     from movex_cdc_spark.operators.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, n=64)
-    feats = extract_features(media, fake=True)
+    feats = extract_features(media)
     return feats.select(
         "media_id",
         "kind",
         F.col("n_bytes").cast("long").alias("n_bytes"),
         F.expr(
-            "concat_ws(',', transform(feature,"
-            " f -> cast(cast(round(f * 255, 0) as bigint) as string)))"
+            "concat_ws(',', transform(feature, f -> cast(cast(f as bigint) as string)))"
         ).alias("feature_checksum"),
     )
 
@@ -1473,6 +1489,117 @@ def streaming_stateful_sessions(spark, sf_dir):
     return spark.read.parquet(f"{tdir}/out").select(
         "user_id", "session_id", "events_in_session", "first_seq", "last_seq"
     )
+
+
+@register(
+    "streaming_idle_timeout_sessions",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM d),
+    m AS (SELECT max(ts) AS max_ts FROM events),
+    agg AS (
+      SELECT user_id, sid,
+             count(*) AS events_in_session,
+             first(event_id ORDER BY ts, event_id) AS first_seq,
+             last(event_id ORDER BY ts, event_id) AS last_seq,
+             max(ts) AS last_ts
+      FROM s GROUP BY user_id, sid)
+    SELECT user_id, first_seq, events_in_session, last_seq
+    FROM (SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg), m
+    WHERE sid < max_sid
+       OR epoch_us(m.max_ts) // 1000 - 3600000
+          > epoch_us(last_ts) // 1000 + 3600000
+    """,
+)
+def streaming_idle_timeout_sessions(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP idle-timeout sessionizer — the 100-TB
+    state-bound variant (streaming/windows.py idle_timeout_s: event-time
+    GroupStateTimeout flushes a key's open session once the watermark
+    passes last_ts + timeout, so state tracks ACTIVE keys only). The
+    stream is staged as THREE time-ordered triggers so the watermark
+    genuinely advances between micro-batches and idle keys time out
+    mid-stream, not just at end-of-stream.
+
+    Oracle mirror of the flush rule: with globally time-ordered trigger
+    files, a timeout can only fire for a key whose next event (if any)
+    is > gap away — the watermark (trailing by the delay) can never
+    overtake a key's timeout while a closer event is still queued — so
+    the emitted set is exactly {gap-closed sessions} ∪ {final sessions
+    whose last_ts + timeout < final watermark}. The watermark comparison
+    is mirrored at Spark's millisecond watermark granularity
+    (epoch_us // 1000), matching GroupStateImpl's timestamp math.
+    session_id is deliberately NOT part of the contract here: after a
+    timeout flush a returning key restarts numbering per the documented
+    state-incarnation trade (windows.py), so rows key on the globally
+    unique first_seq; numbering itself is driver-verified by the
+    NoTimeout row streaming_stateful_sessions.
+
+    Reference analog: the worker's max-event-age flush + per-key state
+    retirement (transfer_thread.rb:229-328 adaptive window close)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.streaming.windows import gap_sessionize_stateful
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    import os as _os
+
+    tdir = tempfile.mkdtemp(prefix="idle_sessions_")
+    ev_dir = f"{tdir}/events"
+    _os.makedirs(ev_dir)
+    # three time-ordered trigger files (mtime ascending = source order)
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["ts", "event_id"], ignore_index=True
+    )
+    cuts = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    import time as _time
+
+    now = _time.time()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in range(3):
+        p = _os.path.join(ev_dir, f"ev-{i:03d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[cuts[i]:cuts[i + 1]], preserve_index=False),
+            p,
+            coerce_timestamps="us",
+        )
+        _os.utime(p, (now - 300 + i * 100, now - 300 + i * 100))
+    q = gap_sessionize_stateful(
+        spark, ev_dir, f"{tdir}/ckpt", f"{tdir}/out", schema,
+        max_files_per_trigger=1, idle_timeout_s=3600,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("idle-timeout sessionization did not finish within 600s")
+    out = spark.read.parquet(f"{tdir}/out").select(
+        "user_id", "first_seq", "events_in_session", "last_seq"
+    )
+    shutil.rmtree(ev_dir, ignore_errors=True)
+    return out
 
 
 @register(

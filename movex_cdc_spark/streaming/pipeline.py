@@ -25,7 +25,9 @@ from movex_cdc_spark.operators.apply import (
     DeadLetterTable,
     _filter_validate_project,
     apply_batch,
+    apply_batch_flagged,
     apply_batch_unkeyed,
+    flag_dispositions,
 )
 from movex_cdc_spark.sources.events import (
     PAYLOAD_EVENTS_SCHEMA,
@@ -105,17 +107,37 @@ class CdcStreamPipeline:
 
         if self.payload_format:
             batch_df = parse_payload_events(batch_df)
-        # One micro-batch feeds up to four scans (envelope emit, poison
-        # quarantine, LWW+merge / unkeyed append) — persist the PARSED
-        # batch so each reads columnar memory instead of re-running the
-        # JSON parse. MEMORY_AND_DISK: an oversized batch spills instead
-        # of GC-thrashing (measured +15% on the 4×1M-epoch bench; a
+        # Fast path (no envelope sink, no table config): run the whole
+        # disposition chain — condition filter, no-op suppression,
+        # poison FLAG — inside the cache-building projection and drop
+        # old_content before the persist. The JSON parse and the cache
+        # write then happen exactly once per micro-batch, the cache
+        # loses its biggest column (the old image), and the poison
+        # quarantine is a cheap flag-slice of the cache instead of a
+        # second full-parse scan. Envelope/config paths keep the full
+        # parsed cache: both may read old_content / ts / txid.
+        fast = self.envelope_sink is None and self.config is None
+        if fast:
+            batch_df = flag_dispositions(batch_df, self.condition_sql)
+        # MEMORY_AND_DISK: an oversized batch spills instead of
+        # GC-thrashing (measured +15% on the 4×1M-epoch bench; a
         # MEMORY_ONLY cache of a 16M-row full backlog measured WORSE in
         # round 1, which is why batch-replay callers of apply_batch on
         # full backlogs do not persist).
         batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            self._apply_inner(batch_df, epoch_id)
+            if fast:
+                lin = apply_batch_flagged(
+                    self.table,
+                    batch_df,
+                    epoch_id=epoch_id,
+                    stream_id=self.stream_id,
+                    dead_letter=self.dead_letter,
+                    metrics=self.metrics,
+                )
+                self.epochs.append(lin)
+            else:
+                self._apply_inner(batch_df, epoch_id)
         finally:
             batch_df.unpersist()
 

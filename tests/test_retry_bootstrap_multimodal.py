@@ -15,7 +15,13 @@ from movex_cdc_spark.operators.apply import (
 )
 from movex_cdc_spark.operators.bootstrap import snapshot_to_init_events
 from movex_cdc_spark.operators.multimodal import (
-    decode_stub,
+    decode,
+    decode_ppm,
+    decode_vid0,
+    decode_wav,
+    encode_ppm,
+    encode_vid0,
+    encode_wav,
     extract_features,
     frame_sample_plan,
     synthesize_media,
@@ -108,18 +114,44 @@ def test_snapshot_bootstrap(spark, tmp_path):
 
 def test_multimodal_features(spark):
     media = synthesize_media(spark, n=12)
-    feats = extract_features(media, fake=True)
+    feats = extract_features(media)
     rows = feats.collect()
     assert len(rows) == 12
     assert all(len(r["feature"]) == 8 for r in rows)
     # deterministic: same payload -> same feature
-    again = {r["media_id"]: r["feature"] for r in extract_features(media, fake=True).collect()}
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
     assert all(again[r["media_id"]] == r["feature"] for r in rows)
 
 
-def test_multimodal_real_codec_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_stub(b"bytes", "image", fake=False)
+def test_multimodal_codec_round_trips():
+    import numpy as np
+
+    pix = np.arange(4 * 3 * 3, dtype=np.int64).astype(np.uint8)
+    w, h, got = decode_ppm(encode_ppm(4, 3, pix))
+    assert (w, h) == (4, 3) and (got == pix).all()
+
+    smp = (np.arange(100, dtype=np.int64) * 37 % 4096 - 2048).astype(np.int16)
+    rate, got = decode_wav(encode_wav(smp, rate=16000))
+    assert rate == 16000 and (got == smp).all()
+
+    fr = (np.arange(2 * 2 * 2 * 3, dtype=np.int64) % 256).astype(np.uint8)
+    w, h, nf, got = decode_vid0(encode_vid0(2, 2, fr))
+    assert (w, h, nf) == (2, 2, 2) and (got == fr).all()
+
+
+def test_multimodal_codec_rejects_corrupt_payloads():
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        decode(b"JFIF not ppm", "image")
+    with pytest.raises(ValueError):
+        decode(b"RIFFxxxxNOPE", "audio")
+    with pytest.raises(ValueError):
+        decode(b"VID1\x00\x00\x00\x00\x00\x00", "video")
+    # truncated data section fails the size check, not just the magic
+    good = encode_ppm(4, 3, np.zeros(36, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode(good[:-5], "image")
 
 
 def test_frame_sample_plan(spark):
