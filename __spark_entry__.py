@@ -25,22 +25,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries without a green DRIVER row yet run FIRST, so a driver-side
 # cap on the number of executed queries (observed: first 50) can never
-# rotate them out. The registry holds 51 entries: 50 inside the cap
-# plus the ONE deliberate overflow in _DEPRIORITIZED below — adding a
-# query means choosing another overflow row, not just appending.
+# rotate them out. The registry holds 56 entries: 50 inside the cap
+# plus the SIX deliberate overflow rows in _DEPRIORITIZED below —
+# adding a query means choosing another overflow row, not appending.
 _PRIORITY = [
     "cdc_sessionization",          # red r1-r3; oracle HUGEINT cast fixed this round
     "streaming_stateful_sessions",  # red r2-r3; same oracle cast fixed this round
     "ann_lsh_bucketed",            # green r1+r2, rotated back in (r3 overflow slot)
     "streaming_idle_timeout_sessions",  # new this round (state-bound sessionizer)
+    "streaming_watermark_dedup",   # new this round (bounded-state id dedup)
+    "sample_stratified_by_lang",   # new this round (corpus curation)
+    "pack_token_shards",           # new this round (corpus curation)
+    "cap_per_source",              # new this round (corpus curation)
 ]
 
 # Deliberate overflow past a 50-query driver cap. Each is multi-round
-# driver-green (q6 r1+r3, distinct_count r1+r3), its operator family
-# stays driver-verified by sibling rows (q1/q5 filters+aggs,
-# window_topk_per_group / cdc_per_key_order_stats group counts), and
-# pytest covers both every round.
-_DEPRIORITIZED = ["q6_selective_filter_agg", "distinct_count_per_group"]
+# driver-green (all six green in r3 and earlier), its operator family
+# stays driver-verified by sibling rows inside the window (q1/q5
+# filters+aggs; window_topk / per-key order stats group counts;
+# text/scalar expression coverage via text_analysis_battery and the
+# envelope/json rows; anti-join sibling join_anti_customers_without_
+# orders stays in), and pytest covers all six every round. ROTATION
+# CONTRACT: next round swaps this set for six different multi-round-
+# green rows so no registered query goes more than one round without a
+# driver row.
+_DEPRIORITIZED = [
+    "q6_selective_filter_agg",
+    "distinct_count_per_group",
+    "scalar_function_battery",
+    "date_function_battery",
+    "cdc_noop_suppression",
+    "join_semi_active_suppliers",
+]
 
 
 def _ordered() -> list[str]:

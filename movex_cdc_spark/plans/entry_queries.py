@@ -1603,6 +1603,165 @@ def streaming_idle_timeout_sessions(spark, sf_dir):
 
 
 @register(
+    "streaming_watermark_dedup",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def streaming_watermark_dedup(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP streaming id-dedup (streaming/windows.py
+    dedup_stream_within_watermark): the event stream is staged as three
+    time-ordered triggers with DUPLICATES injected — every 5th row
+    duplicated inside its own trigger, and every trigger's final-hour
+    rows redelivered in the NEXT trigger (inside the 2h watermark slack,
+    so the dedup state for them is provably still live when the copy
+    arrives). dropDuplicatesWithinWatermark keyed on event_id must
+    collapse all of it back to exactly the original event set — which is
+    the whole oracle: SELECT the undoctored events table. State is
+    bounded by the watermark window (the 100-TB guard), mirrored here by
+    only redelivering within the slack — the at-least-once transport
+    contract (reference hazard window transfer_thread.rb:171-177)."""
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.streaming.windows import dedup_stream_within_watermark
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    tdir = tempfile.mkdtemp(prefix="wm_dedup_")
+    ev_dir = f"{tdir}/events"
+    _os.makedirs(ev_dir)
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["ts", "event_id"], ignore_index=True
+    )
+    cuts = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    now = _time.time()
+    for i in range(3):
+        part = pdf.iloc[cuts[i]:cuts[i + 1]]
+        # in-trigger duplicates: every 5th row of this trigger
+        chunks = [part, part.iloc[::5]]
+        if i > 0:
+            # cross-trigger redelivery: the PREVIOUS trigger's final
+            # hour, arriving again one trigger later — within the 2h
+            # slack, so the dedup state is still live
+            prev = pdf.iloc[cuts[i - 1]:cuts[i]]
+            tail = prev[prev["ts"] > prev["ts"].max() - pd.Timedelta(hours=1)]
+            chunks.append(tail)
+        out = pd.concat(chunks, ignore_index=True)
+        p = _os.path.join(ev_dir, f"ev-{i:03d}.parquet")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p,
+                       coerce_timestamps="us")
+        _os.utime(p, (now - 300 + i * 100, now - 300 + i * 100))
+    q = dedup_stream_within_watermark(
+        spark, ev_dir, f"{tdir}/ckpt", f"{tdir}/out", schema,
+        within="2 hours", max_files_per_trigger=1,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("watermark dedup stream did not finish within 600s")
+    out = spark.read.parquet(f"{tdir}/out").select("event_id", "user_id", "event_type")
+    shutil.rmtree(ev_dir, ignore_errors=True)
+    return out
+
+
+@register(
+    "sample_stratified_by_lang",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          < CAST((CASE WHEN lang = 'en' THEN 0.5
+                       WHEN lang = 'de' THEN 0.8
+                       ELSE 1.0 END) * 4294967296 AS UBIGINT)
+    """,
+)
+def sample_stratified_by_lang(spark, sf_dir):
+    """Deterministic stratified downsampling (operators/sampling.py):
+    keep a row iff sha256-u32(doc_id) < rate(lang)·2^32 — rebalances an
+    en-heavy corpus (en halved, de lightly trimmed, tails kept whole)
+    with zero shuffle, zero RNG state, and hash-threshold monotonicity
+    (raising a rate strictly grows the kept set). The oracle reproduces
+    the exact selection from the same sha256 prefix."""
+    from movex_cdc_spark.operators.sampling import stratified_hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_hash_sample(
+        docs, "lang", {"en": 0.5, "de": 0.8}, default_rate=1.0
+    ).select("doc_id", "lang")
+
+
+@register(
+    "pack_token_shards",
+    r"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS bucket,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, bucket, CAST(tokens AS BIGINT) AS tokens,
+             CAST(sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t)
+    SELECT doc_id, bucket, tokens, cum_tokens,
+           CAST(floor((cum_tokens - tokens) / 2000.0) AS BIGINT) AS shard_id
+    FROM c
+    """,
+)
+def pack_token_shards_query(spark, sf_dir):
+    """Token-budget shard packing (operators/sampling.py): documents are
+    packed into ~2000-token training shards by a running token sum,
+    independently per deterministic bucket (doc_id % 8) — the bucket is
+    the parallelism unit, so there is exactly ONE shuffle (the bucket
+    hash partition) and never a global sort. shard = floor((cumsum -
+    tokens)/budget): the start-of-document convention keeps every
+    document whole within one shard."""
+    from movex_cdc_spark.operators.sampling import pack_token_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_token_shards(docs, budget=2000, n_buckets=8)
+
+
+@register(
+    "cap_per_source",
+    """
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents) t
+    WHERE rn <= 5
+    """,
+)
+def cap_per_source(spark, sf_dir):
+    """Hot-domain cap (operators/sampling.py cap_per_group): keep at
+    most 5 documents per (lang, source), preferring the longest, ties
+    broken by ascending doc_id so the kept set is a deterministic total
+    order — the per-origin dominance guard of a crawl-curation
+    pipeline."""
+    from movex_cdc_spark.operators.sampling import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_per_group(docs, ["lang", "source"], "n_chars", "doc_id", k=5).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
     "streaming_hourly_stats",
     """
     WITH m AS (SELECT max(ts) AS max_ts FROM events)

@@ -49,9 +49,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # analog of the reference's 1000-row trigger buffer flush
-        # (memory_collection_flush_limit) — Arrow transfer batch size.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow transfer batch size (analog of the reference's trigger
+        # buffer flush, memory_collection_flush_limit). 100k, not the
+        # 10k default: Arrow-batched Python ops pay a fixed per-batch
+        # serialization/handoff cost, and the stateful sessionizer at
+        # small groups is bound by it — measured +41% (9.8k -> 13.9k
+        # ev/s at 8 events/key, BENCH_SCALING.md) from this one knob.
+        # ~100 B rows x 100k = ~10 MB per Arrow batch: safely inside
+        # executor memory while amortizing the per-batch overhead.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -240,6 +240,45 @@ def _arm_timeout(state: GroupState, last_ts_us: int, idle_timeout_s: int) -> Non
     state.setTimeoutTimestamp(max(want_ms, wm_ms + 1))
 
 
+def dedup_stream_within_watermark(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema: T.StructType,
+    within: str = "2 hours",
+    key_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming exactly-once-by-id dedup over an at-least-once feed:
+    ``dropDuplicatesWithinWatermark`` keyed on the event id. The dedup
+    state holds only ids whose event time is within the watermark slack
+    — the 100-TB guard: state is bounded by (arrival rate × slack), not
+    by the all-time id universe, which is what makes id-dedup feasible
+    on an unbounded stream. Duplicates must arrive within ``within``
+    event-time of the original (the at-least-once transport's redelivery
+    window); anything later is outside the contract by design.
+
+    This is the consumer-side guard the reference's producer contract
+    implies: Kafka delivery is at-least-once around worker crashes
+    (transfer_thread.rb:171-177 commit-then-delete hazard), so exactly-
+    once consumption requires id-dedup within a bounded redelivery
+    window."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(events_dir).withWatermark("ts", within)
+    deduped = ev.dropDuplicatesWithinWatermark(key_cols or ["event_id"])
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def gap_sessionize_stateful(
     spark: SparkSession,
     events_dir: str,
