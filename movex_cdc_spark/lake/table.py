@@ -266,6 +266,7 @@ class LakeTable:
         stream_id: str = "default",
         epoch_id: int | None = None,
         lineage_extra: dict[str, Any] | None = None,
+        prune_source: DataFrame | None = None,
     ) -> dict[str, Any]:
         """LWW MERGE of a change batch into the table.
 
@@ -285,6 +286,15 @@ class LakeTable:
         Returns the lineage record. If ``epoch_id`` is already fenced
         for ``stream_id`` the call is a NO-OP and returns the fence
         record instead (idempotent retry).
+
+        ``prune_source``: optional cheaper frame to compute the
+        touched-bucket set from — any frame whose key-column bucket set
+        EQUALS the batch's (the caller's pre-LWW valid slice qualifies:
+        LWW collapses rows per key, never adds or removes keys). When
+        given, the probe action runs a key-pruned scan of that frame
+        instead of executing the batch's whole aggregate chain, and the
+        batch plan itself runs exactly once — inside the snapshot write
+        job.
         """
         m = self.meta()
         if epoch_id is not None:
@@ -311,15 +321,54 @@ class LakeTable:
             F.col(op_col).alias("__s_op"),
         )
 
+        null_key_pred = None
+        for k in key_cols:
+            p = F.col(k).isNull()
+            null_key_pred = p if null_key_pred is None else (null_key_pred | p)
+
         # bucket pruning: which buckets does this batch touch?
-        # src is persisted first — otherwise the whole upstream batch
-        # pipeline (scan/filter/LWW) would run twice, once for this
-        # collect and again for the merge join. The deduped batch is
-        # at most one row per key, so the cache is small.
-        src = src.persist()
-        touched = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+        if prune_source is not None:
+            # Cheap probe path (streaming fast path): the caller's
+            # pre-LWW cached slice has the same key set as the batch
+            # (LWW collapses per key, never adds/removes keys), and the
+            # probe plan prunes to the key columns — so this action is a
+            # light cache scan and the heavy batch plan (LWW aggregate,
+            # payload assembly) runs exactly ONCE, fused into the
+            # snapshot write job. The old shape materialized the full
+            # deduped payload for the collect and re-read it for the
+            # write — an extra round trip of every merged byte. The same
+            # probe also reports whether ANY batch key is null, so the
+            # null-branch join below can be skipped without touching the
+            # heavy plan.
+            src_cached = False
+            probe_rows = (
+                prune_source.select(
+                    bucket_expr(key_cols, n_buckets).alias(BUCKET_COL),
+                    null_key_pred.alias("__nk"),
+                )
+                .distinct()
+                .collect()
+            )
+            touched = sorted({r[0] for r in probe_rows})
+            src_has_null_keys = any(r["__nk"] for r in probe_rows)
+            if src_has_null_keys:
+                # rare: null-keyed rows present — persist so the two
+                # join branches read the aggregate once, not twice
+                src = src.persist()
+                src_cached = True
+        else:
+            # Generic path (uncached batch): persist src — otherwise the
+            # whole upstream pipeline (scan/filter/LWW) would run twice,
+            # once for this collect and again for the merge join (and
+            # once more for the null-branch filter). The deduped batch
+            # is at most one row per key, so it is small.
+            src = src.persist()
+            src_cached = True
+            touched = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+            src_has_null_keys = True  # unknown — keep the null-safe branch
         if not touched:
-            src.unpersist()
+            if src_cached:
+                src.unpersist()
             return {"skipped": True, "reason": "empty batch"}
 
         tgt = self.read_raw(buckets=touched)
@@ -355,33 +404,41 @@ class LakeTable:
         # eliminated one moves every merged payload byte again). At 100×
         # scale that saved shuffle is a full pass over every batch. The
         # null-key rows (at most a sliver; all hash to ONE bucket) keep
-        # the original null-safe semantics in a separate tiny join —
-        # when the batch has no null keys it degenerates to a
-        # pass-through of the target's null-key rows, whose IS NULL
-        # scan is row-group-skipped by parquet null-count stats.
-        has_null_key = None
-        for k in key_cols:
-            p = F.col(k).isNull()
-            has_null_key = p if has_null_key is None else (has_null_key | p)
+        # the original null-safe semantics in a separate tiny join. When
+        # the probe proved the batch has NO null keys (the normal case),
+        # that branch is a pure pass-through of the target's null-key
+        # rows — no join, and crucially no second reference to the
+        # un-persisted aggregate subtree (a second reference would
+        # re-execute the whole LWW plan just to filter it to nothing).
         j_nn = (
-            tgt.filter(~has_null_key)
+            tgt.filter(~null_key_pred)
             .alias("t")
             .join(
-                src.filter(~has_null_key).alias("s"),
+                src.filter(~null_key_pred).alias("s"),
                 on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_cols],
                 how="full_outer",
             )
         )
-        j_nu = (
-            tgt.filter(has_null_key)
-            .alias("t")
-            .join(
-                src.filter(has_null_key).alias("s"),
-                on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
-                how="full_outer",
+        if src_has_null_keys:
+            j_nu = (
+                tgt.filter(null_key_pred)
+                .alias("t")
+                .join(
+                    src.filter(null_key_pred).alias("s"),
+                    on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
+                    how="full_outer",
+                )
             )
-        )
-        result = j_nn.select(*cols).unionByName(j_nu.select(*cols))
+            result = j_nn.select(*cols).unionByName(j_nu.select(*cols))
+        else:
+            # tgt_raw rows already have the result schema (bucket +
+            # payload + last_seq + deleted): carry null-key target rows
+            # forward unchanged
+            result = j_nn.select(*cols).unionByName(
+                tgt.filter(null_key_pred).select(
+                    BUCKET_COL, *pay_names, SEQ_COL, DELETED_COL
+                )
+            )
 
         # write only the touched buckets into a fresh snapshot dir
         new_version = m["version"] + 1
@@ -395,7 +452,8 @@ class LakeTable:
                 .parquet(snap_dir, mode="errorifexists")
             )
         finally:
-            src.unpersist()
+            if src_cached:
+                src.unpersist()
 
         # collect the new file list per touched bucket
         new_buckets: dict[str, list[str]] = dict(m["buckets"])

@@ -182,6 +182,9 @@ def apply_batch_flagged(
     return _apply_prepared(
         table, ready, poison, epoch_id, stream_id, dead_letter, metrics,
         evolve=True, obs_t0=t0,
+        # seq/op feed the probe-riding metrics observation; the probe's
+        # own distinct prunes to the bucket expression above it
+        prune_source=valid.select(*KEY_COLS, "seq", "op"),
     )
 
 
@@ -216,7 +219,7 @@ def apply_batch(
 
 
 def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metrics,
-                    evolve, obs_t0):
+                    evolve, obs_t0, prune_source=None):
     t0 = obs_t0
     if evolve:
         batch_payload = T.StructType(
@@ -224,18 +227,31 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
         )
         table.evolve_schema(batch_payload)
 
-    # single-pass metrics riding the merge job itself — no extra scan
-    # (reference A1 statistics counters, statistic_counter.rb:14-48;
-    # the partial->final combine is Spark's own partial aggregation)
+    # single-pass metrics riding a job the batch already runs — no
+    # extra scan (reference A1 statistics counters,
+    # statistic_counter.rb:14-48; the partial->final combine is Spark's
+    # own partial aggregation)
     obs = Observation(f"apply_{stream_id}_{epoch_id}_{time.monotonic_ns()}")
-    ready = ready.observe(
-        obs,
+    obs_aggs = [
         F.count(F.lit(1)).alias("events"),
         F.max("seq").alias("max_seq"),
         F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_insert"),
         F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_update"),
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
-    )
+    ]
+    if prune_source is not None:
+        # Probe path: the observation rides the bucket-probe COLLECT,
+        # counting valid captured events pre-LWW (exactly what the
+        # reference's per-event transfer counters count). It must NOT
+        # ride `ready` here: with the probe, `ready`'s only action is
+        # the snapshot write inside the streaming micro-batch, and
+        # foreachBatch write actions do not deliver observed metrics —
+        # obs.get would block the stream forever (collect actions do
+        # deliver; verified by the round-2/3 persist-shape pipelines and
+        # reproduced as a deadlock when observed on the write).
+        prune_source = prune_source.observe(obs, *obs_aggs)
+    else:
+        ready = ready.observe(obs, *obs_aggs)
 
     n_poison = 0
     if dead_letter is not None:
@@ -254,6 +270,7 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
         op_col="op",
         stream_id=stream_id,
         epoch_id=epoch_id,
+        prune_source=prune_source,
     )
     lineage["merge_latency_s"] = round(time.monotonic() - t0, 4)
     lineage["n_poison"] = n_poison
