@@ -455,6 +455,25 @@ class LakeTable:
             if src_cached:
                 src.unpersist()
 
+        # Contract guard: the snapshot commit only adopts buckets in
+        # `touched`. If the write produced a bucket OUTSIDE that set,
+        # the prune_source's key set diverged from the batch's — those
+        # rows would be silently orphaned (written but never listed),
+        # i.e. lost. Fail loudly and drop the staged snapshot instead.
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(snap_dir)
+            if d.startswith(f"{PART_COL}=")
+        }
+        extra = written - set(touched)
+        if extra:
+            shutil.rmtree(snap_dir, ignore_errors=True)
+            raise RuntimeError(
+                f"merge wrote buckets {sorted(extra)} outside the probed "
+                f"touched set {sorted(touched)} — prune_source keys diverge "
+                "from the batch keys; snapshot aborted, nothing committed"
+            )
+
         # collect the new file list per touched bucket
         new_buckets: dict[str, list[str]] = dict(m["buckets"])
         for b in touched:

@@ -144,3 +144,34 @@ def test_merge_with_retry_on_commit_conflict(spark, tmp_path):
         LakeTable._write_version = real_write
     assert lin["version"] == 2  # retried onto the next version
     assert t.read().count() == 1
+
+
+def test_merge_probe_path_and_divergence_guard(spark, tmp_lake):
+    """prune_source drives bucket pruning without persisting src; a
+    prune_source whose key set diverges from the batch must abort the
+    snapshot loudly instead of silently orphaning written buckets."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = _table(spark, tmp_lake, n_buckets=8)
+    rows = [(i, f"r{i}", f"p{i}", "c", "py", f"v{i}", "I") for i in range(40)]
+    batch = _batch(spark, rows)
+    probe = batch.select("repo", "path", "seq", "op")
+    lin = t.merge(batch, epoch_id=0, prune_source=probe)
+    assert t.read().count() == 40
+    v_after = t.current_version()
+
+    # superset probe (extra keys) is SAFE: prunes less, loses nothing
+    more = _batch(spark, [(100, "rX", "pX", "c", "py", "vX", "I")])
+    sup = more.unionByName(batch.limit(5)).select("repo", "path", "seq", "op")
+    t.merge(more, epoch_id=1, prune_source=sup)
+    assert t.read().count() == 41
+
+    # diverging probe (MISSING the batch's buckets) aborts, commits nothing
+    batch2 = _batch(spark, [(200, f"rY{i}", "p", "c", "py", "y", "I") for i in range(8)])
+    wrong = batch.limit(1).select("repo", "path", "seq", "op")  # bucket of r0 only
+    before = t.current_version()
+    with pytest.raises(RuntimeError, match="outside the probed"):
+        t.merge(batch2, epoch_id=2, prune_source=wrong)
+    assert t.current_version() == before
+    assert t.read().count() == 41
