@@ -72,6 +72,11 @@ class CommitConflict(Exception):
 
 
 class LakeTable:
+    # merge() consumes prune_source (probe-based bucket pruning). Sinks
+    # that accept-and-ignore it (MergeOnReadTable) leave this False so
+    # callers never attach work to a probe that will not run.
+    supports_prune_source = True
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path

@@ -172,6 +172,15 @@ def apply_batch_flagged(
     streaming fast path; filters already ran in flag_dispositions."""
     t0 = time.monotonic()
     valid, poison = split_flagged(flagged)
+    if "old_content" not in poison.columns:
+        # flag_dispositions dropped the old image from the cache (its
+        # only consumer was the no-op check). Quarantined rows keep the
+        # EVENT_COLS shape with old_content explicitly NULL so the
+        # dead-letter schema stays union-stable across paths and
+        # RetryWorker's re-validation chain resolves every column — the
+        # old image was simply not retained for quarantine (documented
+        # fidelity trade of the slim cache).
+        poison = poison.withColumn("old_content", F.lit(None).cast("string"))
     keep = [c for c in valid.columns if c not in ("old_content", "ts", "txid", "is_noop")]
     slim = valid.select(*keep)
     dedup = lww_dedup_maxby(slim, KEY_COLS) if lww_mode == "maxby" else lww_dedup(slim, KEY_COLS)
@@ -239,19 +248,32 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
         F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_update"),
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
     ]
-    if prune_source is not None:
+    # A sink that ignores prune_source (MergeOnReadTable) never runs the
+    # probe — attaching the observation there would block obs.get
+    # forever. Only use the probe when the sink actually consumes it.
+    use_probe = prune_source is not None and getattr(
+        table, "supports_prune_source", False
+    )
+    if use_probe:
         # Probe path: the observation rides the bucket-probe COLLECT,
         # counting valid captured events pre-LWW (exactly what the
         # reference's per-event transfer counters count). It must NOT
         # ride `ready` here: with the probe, `ready`'s only action is
-        # the snapshot write inside the streaming micro-batch, and
-        # foreachBatch write actions do not deliver observed metrics —
-        # obs.get would block the stream forever (collect actions do
-        # deliver; verified by the round-2/3 persist-shape pipelines and
-        # reproduced as a deadlock when observed on the write).
+        # the COW snapshot write (AQE multi-branch join + partitionBy)
+        # inside the streaming micro-batch, and that specific write
+        # does not deliver observed metrics — obs.get deadlocked the
+        # stream (reproduced twice). Simple append writes DO deliver
+        # them in foreachBatch (the MoR row count and the envelope-sink
+        # reject count have ridden their append writes since round 2),
+        # so the failure is the AQE snapshot-write shape, not writes in
+        # general — but the probe collect is the safe, always-runs
+        # carrier here.
         prune_source = prune_source.observe(obs, *obs_aggs)
+        counter_scope = "valid_events_pre_dedup"
     else:
+        prune_source = None  # an ignored probe must carry no work
         ready = ready.observe(obs, *obs_aggs)
+        counter_scope = "deduped_keys"
 
     n_poison = 0
     if dead_letter is not None:
@@ -276,6 +298,11 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
     lineage["n_poison"] = n_poison
     if lineage.get("skipped"):
         return lineage
+    # Counter semantics differ by attach point and are recorded, never
+    # mixed silently: the probe path counts valid captured EVENTS
+    # pre-LWW (reference statistic_counter semantics); the generic and
+    # MoR paths count post-LWW deduped KEYS (the rows actually merged).
+    lineage["counter_scope"] = counter_scope
     if metrics is not None:
         got = obs.get
         metrics.append(

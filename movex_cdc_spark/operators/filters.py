@@ -60,7 +60,14 @@ def suppress_noop_updates(
     """Drop updates where the tracked payload did not change.
 
     Null-safe: `old <=> new` (eqNullSafe) mirrors the reference's
-    pairwise `old != new OR (old IS NULL) != (new IS NULL)` check."""
+    pairwise `old != new OR (old IS NULL) != (new IS NULL)` check.
+
+    A frame with no old-image column (e.g. dead letters quarantined by
+    the slim streaming cache, which drops it) passes through unchanged:
+    with no old image the no-op check is undecidable and suppressing
+    would lose real updates."""
+    if old_col not in df.columns:
+        return df
     is_noop = (F.col(op_col) == "U") & F.col(old_col).eqNullSafe(F.col(new_col))
     return df.filter(~is_noop)
 

@@ -99,16 +99,26 @@ def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Parse binary PPM: magic check, ASCII header scan, raw RGB."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    # header = three whitespace-separated tokens after the magic
+    # header = three whitespace-separated tokens after the magic;
+    # every scan is bounded by the buffer end — a truncated header
+    # raises instead of scanning past EOF (b''.isspace() is False, so
+    # an unbounded loop would spin forever on b'')
     fields: list[int] = []
-    pos = 2
+    pos, end = 2, len(payload)
     while len(fields) < 3:
-        while payload[pos : pos + 1].isspace():
+        while pos < end and payload[pos : pos + 1].isspace():
             pos += 1
         start = pos
-        while not payload[pos : pos + 1].isspace():
+        while pos < end and not payload[pos : pos + 1].isspace():
             pos += 1
-        fields.append(int(payload[start:pos]))
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        try:
+            fields.append(int(payload[start:pos]))
+        except ValueError as e:
+            raise ValueError(f"malformed PPM header token {payload[start:pos]!r}") from e
+    if pos >= end:
+        raise ValueError("truncated PPM header")
     pos += 1  # single whitespace byte after maxval
     w, h, maxval = fields
     if maxval != 255:
@@ -155,15 +165,21 @@ def decode(payload: bytes, kind: str) -> tuple[np.ndarray, int, int]:
     (units, d1, d2) — the decoded sample array plus two decoded header
     dimensions (image: w, h; audio: rate, n_samples; video: w*h,
     n_frames). Raises ValueError on a corrupt or mismatched payload."""
-    if kind == "image":
-        w, h, pix = decode_ppm(payload)
-        return pix.astype(np.int64), w, h
-    if kind == "audio":
-        rate, samples = decode_wav(payload)
-        return samples.astype(np.int64), rate, samples.size
-    if kind == "video":
-        w, h, nf, frames = decode_vid0(payload)
-        return frames.astype(np.int64), w * h, nf
+    try:
+        if kind == "image":
+            w, h, pix = decode_ppm(payload)
+            return pix.astype(np.int64), w, h
+        if kind == "audio":
+            rate, samples = decode_wav(payload)
+            return samples.astype(np.int64), rate, samples.size
+        if kind == "video":
+            w, h, nf, frames = decode_vid0(payload)
+            return frames.astype(np.int64), w * h, nf
+    except struct.error as e:
+        # truncated fixed-width header fields surface as struct.error —
+        # normalize to the documented ValueError contract so callers
+        # can quarantine the row instead of failing the task
+        raise ValueError(f"truncated {kind} payload: {e}") from e
     raise ValueError(f"unknown media kind {kind!r}")
 
 
@@ -194,12 +210,20 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
 
 
 # --------------------------------------------------------------- extract
-def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
+def extract_features(df: DataFrame) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow record-batch
     streaming; one Python worker call per batch, no per-row overhead at
     the Spark row level). The 8-dim feature is integer-exact decoded
     stats — [n_units, unit_sum, unit_min, unit_max, first, last, d1,
-    d2] — every value < 2^24 so the float32 round-trip is lossless."""
+    d2] — every value < 2^24 so the float32 round-trip is lossless.
+
+    Memory bound: one Arrow batch holds up to
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` payloads in the
+    Python worker at once (engine default 100k, sized for ~100 B rows —
+    session.py). A corpus of LARGE media payloads must lower that conf
+    for its session: at 1 MB payloads, 100k rows/batch is 100 GB. The
+    conf is session-level by Spark design; there is deliberately no
+    per-operator override here."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -52,7 +52,12 @@ def stratified_hash_sample(
     rate = F.lit(float(default_rate))
     for g, r in rates.items():
         rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
-    return df.filter(u < (rate * F.lit(float(HASH_SPACE))).cast("long"))
+    # floor() the threshold EXPLICITLY: Spark's cast(double as long)
+    # truncates while DuckDB's ::UBIGINT rounds (0.8*2^32 -> ...836 vs
+    # ...837), so without a shared floor the keep-set differs on any
+    # row whose hash lands exactly on the boundary — a latent one-in-
+    # 2^32-per-row oracle mismatch. Both engines floor the same double.
+    return df.filter(u < F.floor(rate * F.lit(float(HASH_SPACE))).cast("long"))
 
 
 def token_count(text_col) -> "F.Column":

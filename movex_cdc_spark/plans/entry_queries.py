@@ -1684,9 +1684,9 @@ def streaming_watermark_dedup(spark, sf_dir):
     """
     SELECT doc_id, lang FROM documents
     WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-          < CAST((CASE WHEN lang = 'en' THEN 0.5
-                       WHEN lang = 'de' THEN 0.8
-                       ELSE 1.0 END) * 4294967296 AS UBIGINT)
+          < CAST(floor((CASE WHEN lang = 'en' THEN 0.5
+                             WHEN lang = 'de' THEN 0.8
+                             ELSE 1.0 END) * 4294967296) AS UBIGINT)
     """,
 )
 def sample_stratified_by_lang(spark, sf_dir):

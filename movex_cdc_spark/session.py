@@ -57,6 +57,10 @@ def get_spark(
         # ev/s at 8 events/key, BENCH_SCALING.md) from this one knob.
         # ~100 B rows x 100k = ~10 MB per Arrow batch: safely inside
         # executor memory while amortizing the per-batch overhead.
+        # CAVEAT: this is sized for narrow rows — a session feeding
+        # LARGE binary payloads through mapInPandas (multimodal decode
+        # at real media sizes) must lower it (rows/batch x payload
+        # bytes is the Python-worker working set).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -140,6 +140,73 @@ def test_streaming_pipeline_through_mor(spark, tmp_path):
     assert (m["content_sha_e"] == m["content_sha_o"]).all()
 
 
+def test_streaming_mor_with_metrics_does_not_deadlock(spark, tmp_path):
+    """Regression: the streaming fast path attaches its counters to the
+    bucket-probe collect, but MergeOnReadTable ignores prune_source —
+    the probe never runs. With metrics enabled, an observation attached
+    to that dead probe would block obs.get forever. The sink's
+    supports_prune_source flag must route the observation back onto the
+    batch plan (which MoR's delta-append write executes and delivers)."""
+    from movex_cdc_spark.sources.events import write_event_files
+    from movex_cdc_spark.streaming.pipeline import CdcStreamPipeline
+
+    ev = generate_events(GenParams(n_events=1200, seed=47))
+    write_event_files(ev, str(tmp_path / "events"), n_files=2)
+    base = LakeTable.create(spark, str(tmp_path / "base"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4)
+    mor = MergeOnReadTable(base, str(tmp_path / "delta"))
+    pipe = CdcStreamPipeline(
+        spark, mor,
+        events_dir=str(tmp_path / "events"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dead_letter_dir=str(tmp_path / "dl"),
+        metrics_dir=str(tmp_path / "metrics"),
+        max_files_per_trigger=1,
+    )
+    epochs = pipe.run_available_now(timeout_s=300)
+    assert len(epochs) == 2
+    assert all(e.get("counter_scope") == "deduped_keys" for e in epochs)
+    rows = pipe.metrics.read().collect()
+    assert sum(r["events"] for r in rows) > 0
+
+
+def test_fast_path_dead_letters_survive_readmit(spark, tmp_path):
+    """Regression: the slim streaming cache drops old_content, so
+    fast-path quarantine rows lack the old image; RetryWorker's
+    re-validation chain must still resolve (no-op check is skipped when
+    the old image was not retained) and heal the rows."""
+    from movex_cdc_spark.sources.events import write_event_files
+    from movex_cdc_spark.streaming.pipeline import CdcStreamPipeline
+    from movex_cdc_spark.streaming.retry import RetryWorker
+    from pyspark.sql import functions as F
+
+    ev = generate_events(GenParams(n_events=1500, seed=53, p_poison=0.05))
+    write_event_files(ev, str(tmp_path / "events"), n_files=2)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4)
+    pipe = CdcStreamPipeline(
+        spark, t,
+        events_dir=str(tmp_path / "events"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dead_letter_dir=str(tmp_path / "dl"),
+        max_files_per_trigger=1,
+    )
+    epochs = pipe.run_available_now(timeout_s=300)
+    assert all(e.get("counter_scope") == "valid_events_pre_dedup" for e in epochs)
+    dl = pipe.dead_letter
+    n_dl = dl.read().count()
+    assert n_dl > 0
+    # dead letters carry the EVENT_COLS shape with a NULL old image
+    assert "old_content" in dl.read().columns
+    # heal all rows and re-admit through the normal merge path
+    healed = dl.read().withColumn("content", F.lit("healed")).withColumn(
+        "last_error_time", F.expr("last_error_time - make_interval(0,0,0,1,0,0,0)")
+    )
+    dl.replace(healed)
+    worker = RetryWorker(spark, t, dl, str(tmp_path / "final"), max_retries=2)
+    r = worker.readmit(epoch_id=100)
+    assert r["healed"] == n_dl
+    assert dl.read() is None or dl.read().count() == 0
+
+
 def test_apply_batch_through_mor(spark, tmp_path):
     ev = generate_events(GenParams(n_events=1500, seed=41))
     base = LakeTable.create(spark, str(tmp_path / "base"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4)

@@ -152,6 +152,18 @@ def test_multimodal_codec_rejects_corrupt_payloads():
     good = encode_ppm(4, 3, np.zeros(36, dtype=np.uint8))
     with pytest.raises(ValueError):
         decode(good[:-5], "image")
+    # truncated ASCII header must RAISE, not scan past EOF forever
+    with pytest.raises(ValueError):
+        decode(b"P6\n16 ", "image")
+    with pytest.raises(ValueError):
+        decode(b"P6\nxx yy\n255\n", "image")
+    # truncated fixed-width headers surface as ValueError, never
+    # struct.error (the documented quarantine contract)
+    with pytest.raises(ValueError):
+        decode(b"VID0\x02\x00", "video")
+    wav = encode_wav(np.zeros(10, dtype=np.int16))
+    with pytest.raises(ValueError):
+        decode(wav[:20], "audio")
 
 
 def test_frame_sample_plan(spark):

@@ -51,8 +51,6 @@ def test_pack_token_shards_budget_and_wholeness(spark):
     # start-of-doc convention: a shard exceeds the budget by at most one
     # document's tokens, and only the LAST shard of a bucket may be tiny
     assert (g <= budget + max_doc).all()
-    for (b, _s), _ in g.items():
-        pass
     for b, grp in packed.groupby("bucket"):
         full = grp.groupby("shard_id")["tokens"].sum()
         assert (full.iloc[:-1] >= budget - max_doc).all()
@@ -121,6 +119,8 @@ def test_streaming_watermark_dedup(spark, tmp_path):
         spark, d, str(tmp_path / "ckpt"), str(tmp_path / "out"), schema,
         within="2 hours", max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("watermark dedup stream did not finish within 300s")
     got = spark.read.parquet(str(tmp_path / "out")).toPandas()
     assert sorted(got["event_id"]) == [1, 2, 3, 4]
