@@ -445,9 +445,19 @@ class LakeTable:
                 )
             )
 
-        # write only the touched buckets into a fresh snapshot dir
+        # Write only the touched buckets into a fresh snapshot dir. The
+        # dir name carries a uuid suffix for the same reason the append
+        # log's segments do (append_log.py:15-17): a hard crash BETWEEN
+        # this parquet write and the _write_version commit leaves an
+        # orphan dir that no metadata references — the foreachBatch
+        # replay of the epoch recomputes the same new_version (metadata
+        # never advanced), and a version-derived name would collide with
+        # the orphan ("path already exists") and wedge the stream until
+        # someone hand-deletes it. With the uuid the replay stages a
+        # FRESH dir and commits normally; expire_snapshots' liveness
+        # walk reaps the orphan's files.
         new_version = m["version"] + 1
-        snap_rel = os.path.join("data", f"snap-{new_version}")
+        snap_rel = os.path.join("data", f"snap-{new_version}-{uuid.uuid4().hex[:8]}")
         snap_dir = os.path.join(self.path, snap_rel)
         try:
             (
@@ -550,7 +560,8 @@ class LakeTable:
             (F.col(DELETED_COL) if DELETED_COL in names else F.lit(False)).alias(DELETED_COL),
         )
         new_version = m["version"] + 1
-        snap_rel = os.path.join("data", f"snap-{new_version}")
+        # uuid suffix: crash-replay safety, same hazard as merge() above
+        snap_rel = os.path.join("data", f"snap-{new_version}-{uuid.uuid4().hex[:8]}")
         snap_dir = os.path.join(self.path, snap_rel)
         (
             out.withColumn(PART_COL, F.col(BUCKET_COL))
@@ -590,11 +601,26 @@ class LakeTable:
             for files in m["buckets"].values():
                 live.update(files)
         removed = 0
-        for root, _dirs, files in os.walk(self.data_dir):
-            for f in files:
-                full = os.path.join(root, f)
-                rel = os.path.relpath(full, self.path)
-                if f.endswith(".parquet") and rel not in live:
-                    os.remove(full)
-                    removed += 1
+        for entry in sorted(os.listdir(self.data_dir)):
+            top = os.path.join(self.data_dir, entry)
+            if not os.path.isdir(top):
+                continue
+            pq: list[str] = []
+            for root, _dirs, files in os.walk(top):
+                pq.extend(
+                    os.path.relpath(os.path.join(root, f), self.path)
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            if pq and not any(p in live for p in pq):
+                # snapshot dir with NO live files — expired version or a
+                # crash-orphaned staged dir (uuid-named, never committed):
+                # drop the whole dir, _SUCCESS/.crc remnants included
+                shutil.rmtree(top, ignore_errors=True)
+                removed += len(pq)
+            else:
+                for p in pq:
+                    if p not in live:
+                        os.remove(os.path.join(self.path, p))
+                        removed += 1
         return removed

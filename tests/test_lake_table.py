@@ -175,3 +175,73 @@ def test_merge_probe_path_and_divergence_guard(spark, tmp_lake):
         t.merge(batch2, epoch_id=2, prune_source=wrong)
     assert t.current_version() == before
     assert t.read().count() == 41
+
+
+def test_crash_between_snapshot_write_and_commit_replays_clean(spark, tmp_lake):
+    """Kill-between-write-and-commit: the staged snapshot dir is written
+    but _write_version never runs (hard crash). The foreachBatch replay
+    of the SAME epoch recomputes the same target version — with
+    version-named snapshot dirs the rewrite collided with the orphan
+    ("path already exists") and wedged the stream permanently. With
+    uuid-suffixed dirs (same fix the append log documents,
+    append_log.py:15-17) the replay stages a fresh dir and converges;
+    expire_snapshots reaps the orphan."""
+    import os
+
+    t = _table(spark, tmp_lake, n_buckets=4)
+    t.merge(_batch(spark, [(1, "r", "p", "c", "py", "v1", "I")]), epoch_id=0)
+
+    real = LakeTable._write_version
+
+    def crashing(self, meta):
+        raise RuntimeError("simulated crash")
+
+    batch = _batch(spark, [(2, "r", "p", "c", "py", "v2", "U")])
+    LakeTable._write_version = crashing
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            t.merge(batch, epoch_id=1)
+    finally:
+        LakeTable._write_version = real
+
+    data_dir = os.path.join(tmp_lake, "data")
+    orphans = [d for d in os.listdir(data_dir) if d.startswith("snap-2-")]
+    assert len(orphans) == 1  # staged dir exists...
+    assert t.current_version() == 1  # ...but metadata never advanced
+
+    # replay of the same epoch must succeed and converge
+    lin = t.merge(batch, epoch_id=1)
+    assert not lin.get("skipped") and lin["version"] == 2
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v2"
+    assert len([d for d in os.listdir(data_dir) if d.startswith("snap-2-")]) == 2
+
+    # the orphan is unreferenced by any kept version -> liveness reap
+    removed = t.expire_snapshots(keep_last=2)
+    assert removed > 0
+    assert len([d for d in os.listdir(data_dir) if d.startswith("snap-2-")]) == 1
+    assert t.read().collect()[0]["content"] == "v2"
+
+
+def test_crash_between_overwrite_write_and_commit_replays_clean(spark, tmp_lake):
+    """Same hazard on the bulk-load path (overwrite): a crashed bootstrap
+    must be re-runnable without hand-deleting the orphan."""
+    t = _table(spark, tmp_lake, n_buckets=4)
+    df = _batch(spark, [(1, "r", "p", "c", "py", "v1", "I")]).drop("seq", "op")
+
+    real = LakeTable._write_version
+
+    def crashing(self, meta):
+        raise RuntimeError("simulated crash")
+
+    LakeTable._write_version = crashing
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            t.overwrite(df)
+    finally:
+        LakeTable._write_version = real
+    assert t.current_version() == 0
+
+    t.overwrite(df)  # replay converges
+    assert t.current_version() == 1
+    assert t.read().collect()[0]["content"] == "v1"
