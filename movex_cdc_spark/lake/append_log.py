@@ -33,13 +33,13 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from movex_cdc_spark.lake.fs import DEFAULT_FS
 from movex_cdc_spark.lake.table import _WIDEN
 
 
@@ -74,41 +74,42 @@ def _union_schema(cur: dict | None, batch: T.StructType) -> dict:
 
 
 class UnkeyedEventLog:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, fs=None):
         self.spark = spark
         self.path = path
+        # metadata/commit IO through the fs seam (lake/fs.py); data
+        # files are Spark reads/writes, already scheme-portable
+        self.fs = fs or DEFAULT_FS
         self.meta_dir = os.path.join(path, "_meta")
 
     @classmethod
-    def create(cls, spark: SparkSession, path: str) -> "UnkeyedEventLog":
-        log = cls(spark, path)
-        os.makedirs(log.meta_dir, exist_ok=False)
+    def create(cls, spark: SparkSession, path: str, fs=None) -> "UnkeyedEventLog":
+        log = cls(spark, path, fs=fs)
+        log.fs.makedirs(log.meta_dir, exist_ok=False)
         log._write_version(
             {"version": 0, "files": [], "epochs": {}, "schema": None, "retired": []}
         )
         return log
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "UnkeyedEventLog":
-        log = cls(spark, path)
+    def load(cls, spark: SparkSession, path: str, fs=None) -> "UnkeyedEventLog":
+        log = cls(spark, path, fs=fs)
         log.meta()  # raises if missing
         return log
 
     # ------------------------------------------------------- metadata
     def meta(self) -> dict[str, Any]:
-        with open(os.path.join(self.meta_dir, "_current")) as f:
-            v = int(f.read().strip())
-        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
-            return json.load(f)
+        v = int(self.fs.read_text(os.path.join(self.meta_dir, "_current")).strip())
+        return json.loads(self.fs.read_text(os.path.join(self.meta_dir, f"v{v}.json")))
 
     def _write_version(self, meta: dict[str, Any]) -> None:
         v = meta["version"]
-        with open(os.path.join(self.meta_dir, f"v{v}.json"), "x") as f:
-            json.dump(meta, f)
-        tmp = os.path.join(self.meta_dir, f"_current.tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(self.meta_dir, "_current"))
+        # exclusive-create = commit lock; replace_text = atomic pointer
+        # swap (cluster mappings documented in lake/fs.py)
+        self.fs.create_exclusive_text(
+            os.path.join(self.meta_dir, f"v{v}.json"), json.dumps(meta)
+        )
+        self.fs.replace_text(os.path.join(self.meta_dir, "_current"), str(v))
 
     def _write_segment(self, batch: DataFrame, new_version: int) -> list[str]:
         """Write one uuid-named segment dir; returns the relative file
@@ -119,7 +120,7 @@ class UnkeyedEventLog:
         batch.write.parquet(seg_dir, mode="errorifexists")
         return [
             os.path.join(seg_rel, f)
-            for f in sorted(os.listdir(seg_dir))
+            for f in sorted(self.fs.listdir(seg_dir))
             if f.endswith(".parquet")
         ]
 
@@ -209,7 +210,7 @@ class UnkeyedEventLog:
         keep, removed = [], 0
         for r in m.get("retired", []):
             if r["at_version"] <= cutoff:
-                shutil.rmtree(os.path.join(self.path, r["dir"]), ignore_errors=True)
+                self.fs.rmtree(os.path.join(self.path, r["dir"]))
                 removed += 1
             else:
                 keep.append(r)

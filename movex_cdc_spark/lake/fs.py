@@ -1,0 +1,109 @@
+"""Filesystem seam for lake metadata and commit IO.
+
+``LakeTable`` and ``UnkeyedEventLog`` keep table METADATA (version
+JSONs, the ``_current`` pointer, file listings) through this interface;
+the DATA files themselves are written and read by Spark, whose paths
+already go through the Hadoop FileSystem layer and accept any scheme
+(``hdfs://``, ``s3a://``, ...). So this seam is exactly the piece that
+was local-FS-bound — the ~10 ``os.*``/``open()`` call sites — and
+swapping it is what makes the store object-store deployable.
+
+Primitive → cluster mapping (each method documents its own):
+
+  ===================== ============================= =====================
+  primitive             HDFS / ABFS (rename-atomic)   S3 / object store
+  ===================== ============================= =====================
+  read_text / listdir   open + read / listStatus      GET / LIST
+  replace_text (commit  atomic rename over the        conditional PUT
+  pointer swap)         pointer file                  (If-Match on ETag) or
+                                                      a catalog/DynamoDB
+                                                      pointer row — what
+                                                      Iceberg's S3 commit
+                                                      does
+  create_exclusive_text create(path, overwrite=false) conditional PUT
+  (version commit lock) — atomic in HDFS              (If-None-Match: *)
+  remove / rmtree       delete(recursive)             DELETE / batched
+  ===================== ============================= =====================
+
+A ``HadoopFS`` implementation is a thin wrapper over
+``spark._jvm.org.apache.hadoop.fs.FileSystem`` (or fsspec): every
+method above is a single Hadoop FS call, and the two commit primitives
+are the only ones whose SEMANTICS matter — they must be atomic and
+exclusive respectively, which HDFS rename/create give natively and S3
+needs conditional requests for (both available since S3 added
+If-None-Match/If-Match PUT support). Everything else is plain IO.
+
+The default ``LocalFS`` keeps today's behavior bit-for-bit: POSIX
+``os.replace`` is the atomic pointer swap, ``O_CREAT|O_EXCL`` the
+commit lock — the contract the whole test suite runs through.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+
+
+class LocalFS:
+    """POSIX implementation — the sandbox/shared-mount deployment."""
+
+    # ------------------------------------------------------------ read
+    def read_text(self, path: str) -> str:
+        """Cluster mapping: FileSystem.open + read (HDFS), GET (S3)."""
+        with open(path) as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        """Cluster mapping: listStatus (HDFS), LIST prefix (S3)."""
+        return os.listdir(path)
+
+    def walk(self, path: str) -> Iterator[tuple[str, list[str], list[str]]]:
+        return os.walk(path)
+
+    # ----------------------------------------------------------- write
+    def makedirs(self, path: str, exist_ok: bool = False) -> None:
+        """Cluster mapping: mkdirs (HDFS); a no-op on S3 (keys, not
+        dirs) — ``exist_ok=False`` create-guards map to a probe LIST."""
+        os.makedirs(path, exist_ok=exist_ok)
+
+    def create_exclusive_text(self, path: str, text: str) -> None:
+        """THE COMMIT LOCK: exactly one writer may create ``path``; a
+        loser must get FileExistsError. Cluster mapping: HDFS
+        create(path, overwrite=false) is atomic-exclusive; S3 needs
+        conditional PUT with If-None-Match: * (412 → FileExistsError).
+        """
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+
+    def replace_text(self, path: str, text: str) -> None:
+        """THE ATOMIC POINTER SWAP: readers see the old or the new
+        content, never a torn write. POSIX: tmp file + os.replace.
+        Cluster mapping: HDFS atomic rename over the pointer; S3:
+        conditional PUT If-Match on the last-read ETag, or keep the
+        pointer in a catalog row (Iceberg's S3 commit protocol)."""
+        import uuid
+
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    # ---------------------------------------------------------- delete
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        """Cluster mapping: delete(path, recursive=true) / batched
+        DELETE. Must not raise if the path is already gone."""
+        shutil.rmtree(path, ignore_errors=True)
+
+
+DEFAULT_FS = LocalFS()

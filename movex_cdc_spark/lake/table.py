@@ -5,8 +5,13 @@ the north rule. The sandbox ships no Iceberg runtime jar, so the table
 format is implemented here with the same contract Iceberg gives us:
 
   * **atomic snapshot commit** — a new metadata JSON is staged and the
-    current-version pointer swapped with ``os.replace`` (Iceberg's
-    atomic metadata swap); readers only ever see a committed version.
+    current-version pointer swapped atomically (Iceberg's atomic
+    metadata swap); readers only ever see a committed version. All
+    metadata/commit IO goes through the filesystem seam in
+    ``lake/fs.py`` — LocalFS (POSIX os.replace / O_EXCL) here, with a
+    documented 1:1 mapping onto HDFS rename / S3 conditional PUT for
+    cluster deployment; data files are Spark-side IO and already
+    scheme-portable.
   * **copy-on-write MERGE, bucket-pruned** — the table is hash-bucketed
     on its key columns. A merge rewrites ONLY the buckets that contain
     batch keys; untouched buckets carry their files forward by
@@ -35,13 +40,14 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from movex_cdc_spark.lake.fs import DEFAULT_FS
 
 BUCKET_COL = "__bucket"
 PART_COL = "__bucket_part"  # duplicated for partitionBy (dir layout)
@@ -77,9 +83,12 @@ class LakeTable:
     # callers never attach work to a probe that will not run.
     supports_prune_source = True
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, fs=None):
         self.spark = spark
         self.path = path
+        # all metadata/commit IO goes through the fs seam (lake/fs.py);
+        # DATA files are Spark reads/writes, already scheme-portable
+        self.fs = fs or DEFAULT_FS
         self.meta_dir = os.path.join(path, "_meta")
         self.data_dir = os.path.join(path, "data")
 
@@ -92,13 +101,14 @@ class LakeTable:
         schema: T.StructType,
         key_cols: list[str],
         n_buckets: int = 32,
+        fs=None,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the payload schema (key
         columns included); ``last_seq``/``deleted`` bookkeeping columns
         are added automatically."""
-        t = cls(spark, path)
-        os.makedirs(t.meta_dir, exist_ok=False)
-        os.makedirs(t.data_dir, exist_ok=True)
+        t = cls(spark, path, fs=fs)
+        t.fs.makedirs(t.meta_dir, exist_ok=False)
+        t.fs.makedirs(t.data_dir, exist_ok=True)
         full = T.StructType(
             list(schema.fields)
             + [T.StructField(SEQ_COL, T.LongType()), T.StructField(DELETED_COL, T.BooleanType())]
@@ -118,20 +128,18 @@ class LakeTable:
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
-        t = cls(spark, path)
+    def load(cls, spark: SparkSession, path: str, fs=None) -> "LakeTable":
+        t = cls(spark, path, fs=fs)
         t.current_version()  # raises if missing
         return t
 
     # ------------------------------------------------------- metadata
     def current_version(self) -> int:
-        with open(os.path.join(self.meta_dir, "_current")) as f:
-            return int(f.read().strip())
+        return int(self.fs.read_text(os.path.join(self.meta_dir, "_current")).strip())
 
     def meta(self, version: int | None = None) -> dict[str, Any]:
         v = self.current_version() if version is None else version
-        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
-            return json.load(f)
+        return json.loads(self.fs.read_text(os.path.join(self.meta_dir, f"v{v}.json")))
 
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.meta(version)["schema"])
@@ -147,15 +155,14 @@ class LakeTable:
         v = meta["version"]
         vpath = os.path.join(self.meta_dir, f"v{v}.json")
         try:
-            fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            # fs.create_exclusive_text is the commit lock (HDFS
+            # create-no-overwrite / S3 If-None-Match PUT — lake/fs.py)
+            self.fs.create_exclusive_text(vpath, json.dumps(meta))
         except FileExistsError as e:  # lost the race for this version
             raise CommitConflict(f"version {v} already committed") from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        tmp = os.path.join(self.meta_dir, f"_current.tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(self.meta_dir, "_current"))
+        # fs.replace_text is the atomic pointer swap (HDFS rename /
+        # S3 If-Match PUT or catalog pointer row)
+        self.fs.replace_text(os.path.join(self.meta_dir, "_current"), str(v))
 
     # ----------------------------------------------------------- read
     def _files(self, meta: dict[str, Any], buckets: list[int] | None = None) -> list[str]:
@@ -477,12 +484,12 @@ class LakeTable:
         # i.e. lost. Fail loudly and drop the staged snapshot instead.
         written = {
             int(d.split("=", 1)[1])
-            for d in os.listdir(snap_dir)
+            for d in self.fs.listdir(snap_dir)
             if d.startswith(f"{PART_COL}=")
         }
         extra = written - set(touched)
         if extra:
-            shutil.rmtree(snap_dir, ignore_errors=True)
+            self.fs.rmtree(snap_dir)
             raise RuntimeError(
                 f"merge wrote buckets {sorted(extra)} outside the probed "
                 f"touched set {sorted(touched)} — prune_source keys diverge "
@@ -493,10 +500,10 @@ class LakeTable:
         new_buckets: dict[str, list[str]] = dict(m["buckets"])
         for b in touched:
             bdir = os.path.join(snap_dir, f"{PART_COL}={b}")
-            if os.path.isdir(bdir):
+            if self.fs.isdir(bdir):
                 new_buckets[str(b)] = [
                     os.path.join(snap_rel, f"{PART_COL}={b}", f)
-                    for f in sorted(os.listdir(bdir))
+                    for f in sorted(self.fs.listdir(bdir))
                     if f.endswith(".parquet")
                 ]
             else:  # bucket became empty (everything merged away) — keep old? no rows
@@ -523,7 +530,7 @@ class LakeTable:
         try:
             self._write_version(m2)
         except CommitConflict:
-            shutil.rmtree(snap_dir, ignore_errors=True)
+            self.fs.rmtree(snap_dir)
             raise
         return lineage
 
@@ -572,10 +579,10 @@ class LakeTable:
         buckets: dict[str, list[str]] = {}
         for b in range(n_buckets):
             bdir = os.path.join(snap_dir, f"{PART_COL}={b}")
-            if os.path.isdir(bdir):
+            if self.fs.isdir(bdir):
                 buckets[str(b)] = [
                     os.path.join(snap_rel, f"{PART_COL}={b}", f)
-                    for f in sorted(os.listdir(bdir))
+                    for f in sorted(self.fs.listdir(bdir))
                     if f.endswith(".parquet")
                 ]
         m2 = dict(m)
@@ -601,12 +608,12 @@ class LakeTable:
             for files in m["buckets"].values():
                 live.update(files)
         removed = 0
-        for entry in sorted(os.listdir(self.data_dir)):
+        for entry in sorted(self.fs.listdir(self.data_dir)):
             top = os.path.join(self.data_dir, entry)
-            if not os.path.isdir(top):
+            if not self.fs.isdir(top):
                 continue
             pq: list[str] = []
-            for root, _dirs, files in os.walk(top):
+            for root, _dirs, files in self.fs.walk(top):
                 pq.extend(
                     os.path.relpath(os.path.join(root, f), self.path)
                     for f in files
@@ -616,11 +623,11 @@ class LakeTable:
                 # snapshot dir with NO live files — expired version or a
                 # crash-orphaned staged dir (uuid-named, never committed):
                 # drop the whole dir, _SUCCESS/.crc remnants included
-                shutil.rmtree(top, ignore_errors=True)
+                self.fs.rmtree(top)
                 removed += len(pq)
             else:
                 for p in pq:
                     if p not in live:
-                        os.remove(os.path.join(self.path, p))
+                        self.fs.remove(os.path.join(self.path, p))
                         removed += 1
         return removed

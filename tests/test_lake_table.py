@@ -245,3 +245,45 @@ def test_crash_between_overwrite_write_and_commit_replays_clean(spark, tmp_lake)
     t.overwrite(df)  # replay converges
     assert t.current_version() == 1
     assert t.read().collect()[0]["content"] == "v1"
+
+
+def test_fs_seam_carries_all_metadata_io(spark, tmp_lake):
+    """Every metadata/commit IO call goes through the fs seam
+    (lake/fs.py): a counting wrapper injected at create() must observe
+    the version commits, pointer swaps, and listings — no call site may
+    bypass it with direct os.*/open(). This is what makes the
+    HDFS/S3A swap mechanical."""
+    from movex_cdc_spark.lake.fs import LocalFS
+
+    class CountingFS(LocalFS):
+        def __init__(self):
+            self.calls = {}
+
+        def _count(self, name):
+            self.calls[name] = self.calls.get(name, 0) + 1
+
+        def read_text(self, path):
+            self._count("read_text")
+            return super().read_text(path)
+
+        def create_exclusive_text(self, path, text):
+            self._count("create_exclusive_text")
+            return super().create_exclusive_text(path, text)
+
+        def replace_text(self, path, text):
+            self._count("replace_text")
+            return super().replace_text(path, text)
+
+        def listdir(self, path):
+            self._count("listdir")
+            return super().listdir(path)
+
+    fs = CountingFS()
+    t = LakeTable.create(spark, tmp_lake, REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4, fs=fs)
+    t.merge(_batch(spark, [(1, "r", "p", "c", "py", "v1", "I")]), epoch_id=0)
+    t.merge(_batch(spark, [(2, "r", "p", "c", "py", "v2", "U")]), epoch_id=1)
+    assert t.read().collect()[0]["content"] == "v2"
+    # create + 2 merges = 3 commits, each one exclusive-create + pointer swap
+    assert fs.calls["create_exclusive_text"] == 3
+    assert fs.calls["replace_text"] == 3
+    assert fs.calls["read_text"] > 0 and fs.calls["listdir"] > 0
