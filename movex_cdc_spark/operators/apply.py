@@ -318,6 +318,7 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
                 "max_seq": got.get("max_seq"),
                 "buckets_touched": len(lineage.get("buckets_touched", [])),
                 "merge_latency_s": lineage["merge_latency_s"],
+                "counter_scope": counter_scope,
             }
         )
         lineage["metrics"] = got

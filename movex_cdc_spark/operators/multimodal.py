@@ -58,6 +58,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        # per-row quarantine: decode failures land HERE (feature NULL,
+        # error message set) instead of failing the whole Spark task —
+        # one corrupt payload in a 100k-row Arrow batch must not kill
+        # the other 99,999 (ADVICE r4)
+        T.StructField("decode_error", T.StringType()),
     ]
 )
 
@@ -210,39 +215,98 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
 
 
 # --------------------------------------------------------------- extract
-def extract_features(df: DataFrame) -> DataFrame:
+def guard_arrow_batch_for_media(
+    spark, payload_bytes: int, max_batch_bytes: int = 256 << 20
+) -> int:
+    """Make the documented large-payload caveat load-bearing: the
+    engine's session default of 100k rows per Arrow batch is sized for
+    ~100 B rows (session.py); at media payload sizes the Python-worker
+    working set is rows/batch × payload bytes. Given an upper-bound
+    payload size, check the session conf and LOWER it (with a warning)
+    when a batch could exceed ``max_batch_bytes``. Returns the
+    records-per-batch now in effect. The conf is session-wide by Spark
+    design — the warning says so, so a mixed workload can restore it."""
+    import warnings
+
+    cur = int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000"))
+    if payload_bytes <= 0 or cur * payload_bytes <= max_batch_bytes:
+        return cur
+    safe = max(1, max_batch_bytes // payload_bytes)
+    warnings.warn(
+        f"spark.sql.execution.arrow.maxRecordsPerBatch={cur} with ~{payload_bytes} B "
+        f"payloads means ~{cur * payload_bytes >> 20} MiB per Python-worker Arrow "
+        f"batch; lowering it to {safe} for this SESSION (cap {max_batch_bytes >> 20} "
+        "MiB/batch). Restore it for narrow-row work if this session mixes both.",
+        stacklevel=3,
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(safe))
+    return int(safe)
+
+
+def extract_features(
+    df: DataFrame, payload_bytes_hint: int | None = None
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow record-batch
     streaming; one Python worker call per batch, no per-row overhead at
     the Spark row level). The 8-dim feature is integer-exact decoded
     stats — [n_units, unit_sum, unit_min, unit_max, first, last, d1,
     d2] — every value < 2^24 so the float32 round-trip is lossless.
 
+    Corrupt payloads are QUARANTINED per row, not task-fatal: decode's
+    ValueError contract (and the degenerate zero-sample/zero-frame case,
+    which decodes but has no units to aggregate) produces a row with
+    ``feature`` NULL and ``decode_error`` set; downstream dead-letters
+    on ``decode_error IS NOT NULL``.
+
     Memory bound: one Arrow batch holds up to
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` payloads in the
-    Python worker at once (engine default 100k, sized for ~100 B rows —
-    session.py). A corpus of LARGE media payloads must lower that conf
-    for its session: at 1 MB payloads, 100k rows/batch is 100 GB. The
-    conf is session-level by Spark design; there is deliberately no
-    per-operator override here."""
+    Python worker at once. ``guard_arrow_batch_for_media`` enforces the
+    large-payload caveat: the bound payload size is taken from
+    ``payload_bytes_hint`` when given, else probed from a bounded
+    sample (batch frames only — a streaming frame must pass the hint).
+    """
+    spark = df.sparkSession
+    if payload_bytes_hint is None and not df.isStreaming:
+        row = (
+            df.select(F.octet_length("payload").alias("b"))
+            .limit(4096)
+            .agg(F.max("b").alias("m"))
+            .first()
+        )
+        payload_bytes_hint = int(row["m"] or 0)
+    if payload_bytes_hint is not None:
+        guard_arrow_batch_for_media(spark, payload_bytes_hint)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats: list[list[float] | None] = []
+            errs: list[str | None] = []
             for p, k in zip(pdf["payload"], pdf["kind"]):
-                units, d1, d2 = decode(bytes(p), k)
-                feats.append(
-                    np.array(
-                        [units.size, int(units.sum()), int(units.min()),
-                         int(units.max()), int(units[0]), int(units[-1]), d1, d2],
-                        dtype=np.float32,
+                try:
+                    units, d1, d2 = decode(bytes(p), k)
+                    if units.size == 0:
+                        # structurally valid but empty (zero-sample WAV,
+                        # zero-frame VID0): no units to aggregate —
+                        # quarantine as a decode error, not a crash
+                        raise ValueError(f"empty {k} payload: zero decoded units")
+                    feats.append(
+                        np.array(
+                            [units.size, int(units.sum()), int(units.min()),
+                             int(units.max()), int(units[0]), int(units[-1]), d1, d2],
+                            dtype=np.float32,
+                        ).tolist()
                     )
-                )
+                    errs.append(None)
+                except ValueError as e:
+                    feats.append(None)
+                    errs.append(str(e))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len).astype("int32"),
-                    "feature": [f.tolist() for f in feats],
+                    "feature": feats,
+                    "decode_error": errs,
                 }
             )
 

@@ -42,6 +42,11 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("max_seq", T.LongType()),
         T.StructField("buckets_touched", T.IntegerType()),
         T.StructField("merge_latency_s", T.DoubleType()),
+        # what the `events` counters COUNT for this row: the probe path
+        # records pre-LWW valid events, the generic/MoR path post-LWW
+        # deduped keys — persisted so rows are self-describing and the
+        # two scopes are never mixed silently (ADVICE r4)
+        T.StructField("counter_scope", T.StringType()),
         T.StructField("end_ts", T.TimestampType()),
     ]
 )
@@ -59,6 +64,7 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("max_seq", pa.int64()),
         pa.field("buckets_touched", pa.int32()),
         pa.field("merge_latency_s", pa.float64()),
+        pa.field("counter_scope", pa.string()),
         pa.field("end_ts", pa.timestamp("us")),
     ]
 )

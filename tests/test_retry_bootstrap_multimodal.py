@@ -175,3 +175,55 @@ def test_frame_sample_plan(spark):
             assert all(t % 500 == 0 for t in r["frame_ts_ms"])
         else:
             assert r["frame_ts_ms"] == []
+
+
+def test_multimodal_corrupt_rows_quarantined_not_task_fatal(spark):
+    """One corrupt payload in a batch must not fail the task: the bad
+    row comes back with feature NULL + decode_error set, the good rows
+    decode normally (ADVICE r4). Zero-sample WAV / zero-frame VID0 are
+    structurally valid but have no units — same quarantine path, and
+    the error is the documented ValueError message, not an Index/
+    ValueError crash past the decode boundary."""
+    import numpy as np
+    import pandas as pd
+    from movex_cdc_spark.operators.multimodal import MEDIA_SCHEMA, encode_wav, encode_vid0
+
+    good = synthesize_media(spark, n=6).collect()
+    bad_rows = [
+        (100, "image", bytearray(b"JFIF not a ppm"), ("image/ppm", 4, 3, 0)),
+        (101, "audio", bytearray(encode_wav(np.array([], dtype=np.int16))),
+         ("audio/wav", None, None, 0)),
+        (102, "video", bytearray(encode_vid0(2, 2, np.array([], dtype=np.uint8))),
+         ("video/x-vid0", 2, 2, 0)),
+    ]
+    media = spark.createDataFrame([tuple(r) for r in good] + bad_rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(out) == 9
+    for r in good:
+        row = out[r["media_id"]]
+        assert row["decode_error"] is None and len(row["feature"]) == 8
+    assert out[100]["feature"] is None and "not a P6" in out[100]["decode_error"]
+    assert out[101]["feature"] is None and "empty audio" in out[101]["decode_error"]
+    assert out[102]["feature"] is None and "empty video" in out[102]["decode_error"]
+
+
+def test_arrow_batch_guard_lowers_conf_for_large_payloads(spark):
+    """guard_arrow_batch_for_media turns the comment-only caveat into
+    enforcement: large payload bound -> session conf lowered + warning;
+    small payloads leave the conf alone."""
+    import warnings
+    from movex_cdc_spark.operators.multimodal import guard_arrow_batch_for_media
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    try:
+        assert guard_arrow_batch_for_media(spark, 100) == int(before)
+        assert spark.conf.get(key) == before
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            safe = guard_arrow_batch_for_media(spark, 1 << 20)  # 1 MiB payloads
+            assert safe == (256 << 20) // (1 << 20) == 256
+            assert any("lowering" in str(x.message) for x in w)
+        assert int(spark.conf.get(key)) == 256
+    finally:
+        spark.conf.set(key, before)

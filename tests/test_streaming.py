@@ -76,6 +76,9 @@ def test_stream_drain_and_resume(spark, env):
     assert sum(r["events"] for r in rows) > 0
     assert max(r["max_seq"] for r in rows) == ev["seq"].max()
     assert all(r["buckets_touched"] <= 8 for r in rows)
+    # persisted rows are self-describing about what `events` counts
+    # (ADVICE r4): the streaming fast path rides the probe, pre-LWW
+    assert all(r["counter_scope"] == "valid_events_pre_dedup" for r in rows)
 
 
 def test_crash_window_replay_is_idempotent(spark, env):
