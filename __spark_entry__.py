@@ -25,37 +25,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries without a green DRIVER row yet run FIRST, so a driver-side
 # cap on the number of executed queries (observed: first 50) can never
-# rotate them out. The registry holds 56 entries: 50 inside the cap
-# plus the SIX deliberate overflow rows in _DEPRIORITIZED below —
+# rotate them out. The registry holds 57 entries: 50 inside the cap
+# plus the SEVEN deliberate overflow rows in _DEPRIORITIZED below —
 # adding a query means choosing another overflow row, not appending.
 _PRIORITY = [
-    "cdc_sessionization",          # red r1-r3; oracle HUGEINT cast fixed this round
-    "streaming_stateful_sessions",  # red r2-r3; same oracle cast fixed this round
-    "ann_lsh_bucketed",            # green r1+r2, rotated back in (r3 overflow slot)
-    "streaming_idle_timeout_sessions",  # new this round (state-bound sessionizer)
-    "streaming_watermark_dedup",   # new this round (bounded-state id dedup)
-    "sample_stratified_by_lang",   # new this round (corpus curation)
-    "pack_token_shards",           # new this round (corpus curation)
-    "cap_per_source",              # new this round (corpus curation)
-]
-
-# Deliberate overflow past a 50-query driver cap. Each is multi-round
-# driver-green (all six green in r3 and earlier), its operator family
-# stays driver-verified by sibling rows inside the window (q1/q5
-# filters+aggs; window_topk / per-key order stats group counts;
-# text/scalar expression coverage via text_analysis_battery and the
-# envelope/json rows; anti-join sibling join_anti_customers_without_
-# orders stays in), and pytest covers all six every round. ROTATION
-# CONTRACT: next round swaps this set for six different multi-round-
-# green rows so no registered query goes more than one round without a
-# driver row.
-_DEPRIORITIZED = [
+    "cdc_envelope_legacy_ts",      # NEW r5: legacy envelope ts modes (VERDICT r4 item 6)
+    # r4's six overflow rows, rotated back inside the window per the
+    # rotation contract (VERDICT r4 item 2) — all driver-green r3 and
+    # locally re-verified through the strict gate every round since
     "q6_selective_filter_agg",
     "distinct_count_per_group",
     "scalar_function_battery",
     "date_function_battery",
     "cdc_noop_suppression",
     "join_semi_active_suppliers",
+]
+
+# Deliberate overflow past a 50-query driver cap. Each is multi-round
+# driver-green (green in BOTH r3 and r4 driver sheets), its operator
+# family stays driver-verified by sibling rows inside the window
+# (q5/q6 filters+aggs; cdc_per_key_order_stats + distinct_count for
+# windows; minhash/simhash/ngram/groups for dedup; cosine_topk/
+# lsh_bucketed/ivf_probe for ANN; text_analysis_battery +
+# pipeline_clean_corpus for text; dedup_embedding_cosine for the
+# embedding family), and pytest covers all seven every round.
+# ROTATION CONTRACT: next round swaps this set for different
+# multi-round-green rows so no registered query goes more than one
+# round without a driver row.
+_DEPRIORITIZED = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "window_topk_per_group",
+    "dedup_exact_sha",
+    "ann_random_projection_lsh",
+    "text_tfidf_top_terms",
+    "embedding_stats_by_label",
 ]
 
 

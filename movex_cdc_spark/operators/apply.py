@@ -356,12 +356,44 @@ def apply_batch_unkeyed(
     return lineage
 
 
+def envelope_timestamp(
+    ts, legacy_ts_format: str | None = None, tz_offset: str = "+00:00"
+):
+    """The reference's three envelope timestamp formats, selected per
+    config exactly like MovexCdc::Application.config.legacy_ts_format
+    (transfer_thread.rb:520-536):
+
+      * ``None`` (default) — ISO 8601, 6-digit fraction with DOT
+        delimiter, configured DB timezone WITH colon:
+        ``2020-02-27T12:50:42.123456+00:00``
+      * ``'TYPE_1'`` — COMMA fraction delimiter, timezone WITHOUT
+        colon: ``2020-02-27T12:50:42,123456+0000``
+      * ``'TYPE_2'`` — COMMA fraction delimiter, timezone WITH colon:
+        ``2020-02-27T12:50:42,123456+00:00``
+
+    ``tz_offset`` is the db_default_timezone analog (a literal, since
+    the engine runs its sessions in one zone — UTC by default)."""
+    base = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+    micros = F.date_format(ts, "SSSSSS")
+    if legacy_ts_format is None:
+        return F.concat(base, F.lit("."), micros, F.lit(tz_offset))
+    if legacy_ts_format == "TYPE_1":
+        return F.concat(base, F.lit(","), micros, F.lit(tz_offset.replace(":", "")))
+    if legacy_ts_format == "TYPE_2":
+        return F.concat(base, F.lit(","), micros, F.lit(tz_offset))
+    raise ValueError(f"Unknown legacy timestamp format {legacy_ts_format!r}")
+
+
 def with_envelope(df: DataFrame, schema_name: str = "public",
                   table_name: str = "repo_files",
-                  cloudevents: bool = False) -> DataFrame:
+                  cloudevents: bool = False,
+                  legacy_ts_format: str | None = None,
+                  tz_offset: str = "+00:00") -> DataFrame:
     """Message envelope assembly (SURVEY P7/P8; reference
     transfer_thread.rb:493-536,659-679): id/schema/table/operation-long/
-    ISO timestamp/transaction id, optionally CloudEvents ce_* headers."""
+    ISO timestamp/transaction id, optionally CloudEvents ce_* headers.
+    ``legacy_ts_format`` selects the reference's legacy timestamp
+    variants (see envelope_timestamp)."""
     out = df.select(
         F.col("seq").alias("id"),
         F.lit(schema_name).alias("schema_name"),
@@ -371,7 +403,7 @@ def with_envelope(df: DataFrame, schema_name: str = "public",
         .when(F.col("op") == "D", "DELETE")
         .otherwise("INIT")
         .alias("operation"),
-        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("timestamp"),
+        envelope_timestamp(F.col("ts"), legacy_ts_format, tz_offset).alias("timestamp"),
         F.col("txid").alias("transaction_id"),
         F.to_json(F.struct("repo", "path", "commit", "lang", "content")).alias("new_payload"),
         F.to_json(F.struct(F.col("old_content").alias("content"))).alias("old_payload"),

@@ -2167,7 +2167,7 @@ def cdc_unkeyed_append(spark, sf_dir):
            CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END AS operation,
            '{{"repo":"' || CAST(user_id AS VARCHAR) || '","path":"state"}}' AS msg_key,
            txid AS transaction_id,
-           strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS ts_iso,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS ts_iso,
            CAST(user_id AS VARCHAR) AS payload_repo,
            length(content) AS payload_content_len
     FROM tagged
@@ -2211,6 +2211,60 @@ def cdc_envelope_sink_contract(spark, sf_dir):
         F.get_json_object("new_payload", "$.repo").alias("payload_repo"),
         F.length(F.get_json_object("new_payload", "$.content")).alias("payload_content_len"),
     )
+
+
+@register(
+    "cdc_envelope_legacy_ts",
+    """
+    WITH tagged AS (
+      SELECT event_id AS id, strftime(ts, '%Y-%m-%dT%H:%M:%S,%f') AS base
+      FROM events WHERE event_id % 20 = 0)
+    SELECT 'TYPE_1' AS mode, id, base || '+0000' AS ts_legacy FROM tagged
+    UNION ALL
+    SELECT 'TYPE_2' AS mode, id, base || '+00:00' AS ts_legacy FROM tagged
+    """,
+)
+def cdc_envelope_legacy_ts(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP legacy envelope timestamp modes (reference
+    transfer_thread.rb:520-536; format-per-mode validation mirrors
+    KafkaMock, kafka_mock.rb:98-141): the same event slice is emitted
+    through two real EnvelopeSinks configured TYPE_1 (comma fraction
+    delimiter, timezone without colon) and TYPE_2 (comma delimiter,
+    timezone with colon), read back from the fenced logs, and every
+    emitted timestamp string is compared against the plain-SQL
+    strftime reconstruction. The sink's own per-mode anchored-regex
+    validation ran at emit — a format/config mismatch would have
+    rejected the row, so 0 rejects is part of what the row counts."""
+    import tempfile
+
+    from movex_cdc_spark.streaming.sink import EnvelopeSink
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0).select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.concat_ws(":", "event_type", F.col("value").cast("string")).alias("content"),
+        F.col("event_id").alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    tdir = tempfile.mkdtemp(prefix="envelope_legacy_")
+    outs = []
+    for mode in ("TYPE_1", "TYPE_2"):
+        sink = EnvelopeSink(
+            spark, f"{tdir}/{mode}", table_name="repo_files", legacy_ts_format=mode
+        )
+        lin = sink.emit(ev, epoch_id=0)
+        assert not lin.get("n_rejected"), f"mode {mode} rejected rows: {lin}"
+        outs.append(
+            sink.read().select(
+                F.lit(mode).alias("mode"),
+                "id",
+                F.col("timestamp").alias("ts_legacy"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
 
 
 @register(

@@ -49,6 +49,18 @@ ENVELOPE_COLS = [
 
 MAX_MESSAGE_BYTES = 1_000_000  # reference MAX_KAFKA_MESSAGE_SIZE analog
 
+# Per-mode envelope timestamp shape, validated at emit exactly like the
+# reference's KafkaMock validates format-per-mode (kafka_mock.rb:98-141:
+# nil → dot fraction + tz with colon; TYPE_1 → comma + tz without colon;
+# TYPE_2 → comma + tz with colon). Emitted as anchored regexes so a
+# format/config mismatch rejects the row instead of shipping a contract
+# violation downstream.
+_TS_PATTERNS = {
+    None: r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}\+\d{2}:\d{2}$",
+    "TYPE_1": r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2},\d{6}\+\d{4}$",
+    "TYPE_2": r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2},\d{6}\+\d{2}:\d{2}$",
+}
+
 
 class EnvelopeSink:
     def __init__(
@@ -59,12 +71,18 @@ class EnvelopeSink:
         table_name: str = "repo_files",
         max_bytes: int = MAX_MESSAGE_BYTES,
         cloudevents: bool = False,
+        legacy_ts_format: str | None = None,
+        tz_offset: str = "+00:00",
     ):
+        if legacy_ts_format not in _TS_PATTERNS:
+            raise ValueError(f"Unknown legacy timestamp format {legacy_ts_format!r}")
         self.spark = spark
         self.schema_name = schema_name
         self.table_name = table_name
         self.max_bytes = max_bytes
         self.cloudevents = cloudevents
+        self.legacy_ts_format = legacy_ts_format
+        self.tz_offset = tz_offset
         try:
             self.log = UnkeyedEventLog.load(spark, path)
         except FileNotFoundError:
@@ -105,6 +123,8 @@ class EnvelopeSink:
             schema_name=self.schema_name,
             table_name=self.table_name,
             cloudevents=self.cloudevents,
+            legacy_ts_format=self.legacy_ts_format,
+            tz_offset=self.tz_offset,
         )
         cols = ENVELOPE_COLS + (
             ["ce_id", "ce_source", "ce_specversion", "ce_type", "ce_time"]
@@ -120,7 +140,15 @@ class EnvelopeSink:
             F.col("operation") == "DELETE"
         )
         key_ok = F.col("msg_key").isNotNull()
-        ok = size_ok & json_ok & key_ok
+        # format-per-mode timestamp validation (KafkaMock analog). A
+        # NULL timestamp is allowed: minimal sources carry no capture
+        # ts (the defaulting loop above) — and must stay three-valued-
+        # logic-safe: a bare regexp on NULL yields NULL, which silently
+        # drops the row from BOTH the good and the rejected slice.
+        ts_ok = F.col("timestamp").isNull() | F.col("timestamp").rlike(
+            _TS_PATTERNS[self.legacy_ts_format]
+        )
+        ok = size_ok & json_ok & key_ok & ts_ok
         # the reject count rides the append scan as an Observation (the
         # observe sits UPSTREAM of the validity filter, so the one write
         # job counts the rows it drops) — no second action per epoch
@@ -133,7 +161,8 @@ class EnvelopeSink:
             "error_msg",
             F.when(~size_ok, F.lit("message exceeds size cap"))
             .when(~json_ok, F.lit("invalid payload json"))
-            .otherwise(F.lit("null message key")),
+            .when(~key_ok, F.lit("null message key"))
+            .otherwise(F.lit("malformed envelope timestamp")),
         )
         lineage = self.log.append(good, stream_id=stream_id, epoch_id=epoch_id)
         if not lineage.get("skipped"):

@@ -279,6 +279,48 @@ def dedup_stream_within_watermark(
     )
 
 
+def _guard_state_schema(checkpoint_dir: str, state_schema: T.StructType) -> None:
+    """Startup guard for the state-schema migration note above: the
+    engine stamps every sessionizer checkpoint with its state schema
+    (``_movex_state_schema.json``); on resume a mismatch — or a
+    pre-guard checkpoint that already carries state but no stamp —
+    fails FAST with the documented remedy instead of surfacing Spark's
+    opaque state-compat error (or worse, misreading carried bytes).
+    The remedy is safe by construction: the source replays from the log
+    and the fenced sink makes the replay exactly-once."""
+    import json
+    import os
+
+    remedy = (
+        "restart the stream with a FRESH checkpoint dir — the source "
+        "replays from the log and the epoch-fenced sink makes the "
+        "replay exactly-once, so no output is lost or duplicated "
+        "(movex_cdc_spark/streaming/windows.py state-schema note)"
+    )
+    stamp = os.path.join(checkpoint_dir, "_movex_state_schema.json")
+    want = state_schema.jsonValue()
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            have = json.load(f)
+        if have != want:
+            raise RuntimeError(
+                f"sessionizer checkpoint {checkpoint_dir} was created under a "
+                f"DIFFERENT state schema ({have}) than this engine version uses "
+                f"({want}); there is no in-place migration for "
+                f"applyInPandasWithState state — {remedy}"
+            )
+        return
+    if os.path.isdir(os.path.join(checkpoint_dir, "state")):
+        raise RuntimeError(
+            f"sessionizer checkpoint {checkpoint_dir} carries state but no "
+            f"engine schema stamp (written by a pre-guard engine version); "
+            f"its state schema cannot be validated — {remedy}"
+        )
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(stamp, "w") as f:
+        json.dump(want, f)
+
+
 def gap_sessionize_stateful(
     spark: SparkSession,
     events_dir: str,
@@ -304,6 +346,7 @@ def gap_sessionize_stateful(
     store sized by ACTIVE keys; without it (default), open sessions
     are carried forever (the registered oracle row uses the default,
     whose 'last session stays open' contract is SQL-mirrorable)."""
+    _guard_state_schema(checkpoint_dir, SESSION_STATE)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -84,3 +84,47 @@ def test_pipeline_with_envelope_sink(spark, tmp_path):
     a = sink.audit()
     assert a["messages"] == len(valid)
     assert a["keys"] == valid.groupby(["repo", "path"]).ngroups
+
+
+def test_legacy_timestamp_modes_format_and_validate(spark, tmp_path):
+    """The reference's three legacy_ts_format modes
+    (transfer_thread.rb:520-536), each emitted through a real sink and
+    validated per-mode at emit like KafkaMock (kafka_mock.rb:98-141):
+    default = dot fraction + tz WITH colon; TYPE_1 = comma + tz WITHOUT
+    colon; TYPE_2 = comma + tz WITH colon. A ts-less row stays legal in
+    every mode (minimal sources carry no capture timestamp)."""
+    import re
+
+    import pytest
+
+    rows = [(1, "r", "p1", "c", "py", "v1", None, "I")]
+    ts_batch = _batch(spark, rows).withColumn(
+        "ts", F.lit("2020-02-27 12:50:42.123456").cast("timestamp")
+    )
+    expect = {
+        None: "2020-02-27T12:50:42.123456+00:00",
+        "TYPE_1": "2020-02-27T12:50:42,123456+0000",
+        "TYPE_2": "2020-02-27T12:50:42,123456+00:00",
+    }
+    for mode, want in expect.items():
+        sink = EnvelopeSink(
+            spark, str(tmp_path / f"sink_{mode}"), legacy_ts_format=mode
+        )
+        lin = sink.emit(ts_batch, epoch_id=0)
+        assert not lin.get("n_rejected")
+        got = sink.read().collect()[0]["timestamp"]
+        assert got == want, (mode, got)
+        # cross-mode exclusivity, the KafkaMock per-mode checks: each
+        # emitted string matches ONLY its own mode's contract
+        from movex_cdc_spark.streaming.sink import _TS_PATTERNS
+
+        for other, pat in _TS_PATTERNS.items():
+            assert bool(re.match(pat, got)) == (other == mode)
+        # null-ts rows remain legal (not silently dropped, not rejected)
+        lin2 = sink.emit(_batch(spark, [(2, "r", "p2", "c", "py", "v2", None, "I")]),
+                         epoch_id=1)
+        assert not lin2.get("n_rejected")
+        assert sink.read().count() == 2
+
+    with pytest.raises(ValueError, match="Unknown legacy timestamp"):
+        EnvelopeSink(spark, str(tmp_path / "bad"), legacy_ts_format="TYPE_3")

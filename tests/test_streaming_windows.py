@@ -266,3 +266,47 @@ def test_gap_sessionize_idle_timeout_flushes_state(spark, tmp_path):
     u2 = got[got["user_id"] == 2]
     assert len(u2) == 1
     assert u2.iloc[0][["session_id", "events_in_session", "first_seq", "last_seq"]].tolist() == [0, 3, 200, 202]
+
+
+def test_state_schema_guard_fails_fast_with_remedy(spark, tmp_path):
+    """Resuming a sessionizer checkpoint created under a DIFFERENT state
+    schema (or a pre-guard checkpoint with unstamped state) must fail at
+    START with the documented fresh-checkpoint remedy, not Spark's
+    opaque state-compat error mid-stream (VERDICT r04 item 5)."""
+    import json
+
+    import pytest
+
+    ev, d = _stage_time_ordered(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    q = gap_sessionize_stateful(
+        spark, d, ckpt, str(tmp_path / "out"), EVENTS_SCHEMA
+    )
+    q.awaitTermination(300)
+
+    # same-schema resume: guard is silent (stamp matches)
+    q2 = gap_sessionize_stateful(
+        spark, d, ckpt, str(tmp_path / "out"), EVENTS_SCHEMA
+    )
+    q2.awaitTermination(300)
+
+    # old-schema checkpoint: rewrite the stamp as the r3-era schema
+    stamp = os.path.join(ckpt, "_movex_state_schema.json")
+    old = json.load(open(stamp))
+    old["fields"] = [
+        {"name": "last_ts", "type": "double", "nullable": True, "metadata": {}}
+        if f["name"] == "last_ts_us" else f
+        for f in old["fields"]
+    ]
+    json.dump(old, open(stamp, "w"))
+    with pytest.raises(RuntimeError, match="FRESH checkpoint dir"):
+        gap_sessionize_stateful(
+            spark, d, ckpt, str(tmp_path / "out2"), EVENTS_SCHEMA
+        )
+
+    # pre-guard checkpoint: state exists but no stamp at all
+    os.remove(stamp)
+    with pytest.raises(RuntimeError, match="pre-guard"):
+        gap_sessionize_stateful(
+            spark, d, ckpt, str(tmp_path / "out3"), EVENTS_SCHEMA
+        )
