@@ -237,7 +237,7 @@ def _stage_session_input(spark, workdir: str, n_events: int, n_users: int = 50_0
     """Deterministic sessionizable event stream: per user, event k lands
     at base + k*20min + (k//5)*2h — every 5th event opens a >1h gap, so
     each user closes a session every 5 events. Staged once, reused."""
-    d = os.path.join(workdir, f"sess-{n_events}")
+    d = os.path.join(workdir, f"sess-{n_events}-u{n_users}")
     if not os.path.isdir(d):
         tmp = d + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -343,9 +343,73 @@ def run_cow_vs_mor(spark, workdir: str, n_events: int = 200_000, n_epochs: int =
     return out
 
 
+def run_sessionize_backfill_ab(spark, workdir: str, n_events: int,
+                               events_per_key: int = 8) -> dict:
+    """A/B for the routed bounded backfill (VERDICT r04 item 8): the
+    SAME tiny-group input (events_per_key ev/key — the stateful hook's
+    per-group-dispatch worst case) sessionized by (a) the stateful
+    streaming path and (b) the router, which picks the SQL window plan
+    below its measured threshold. Asserts the outputs are identical
+    row-for-row, reports both walls + speedup."""
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.streaming.windows import sessionize_backfill
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    n_users = max(1, n_events // events_per_key)
+    d = _stage_session_input(spark, workdir, n_events, n_users=n_users)
+    run_dir = os.path.join(workdir, "run-routeab")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir)
+    out = {"n_events": n_events, "events_per_key": events_per_key}
+
+    t0 = time.monotonic()
+    r = sessionize_backfill(
+        spark, d, os.path.join(run_dir, "ck_st"), os.path.join(run_dir, "out_st"),
+        schema, events_per_key_threshold=0.0,  # force the stateful path
+    )
+    out["stateful_wall_s"] = round(time.monotonic() - t0, 2)
+    assert r["path"] == "stateful"
+
+    t0 = time.monotonic()
+    r = sessionize_backfill(
+        spark, d, os.path.join(run_dir, "ck_sql"), os.path.join(run_dir, "out_sql"),
+        schema,  # default threshold: 8 ev/key routes to the SQL plan
+    )
+    out["routed_wall_s"] = round(time.monotonic() - t0, 2)
+    out["routed_path"] = r["path"]
+
+    a = spark.read.parquet(os.path.join(run_dir, "out_st"))
+    b = spark.read.parquet(os.path.join(run_dir, "out_sql"))
+    out["outputs_identical"] = (a.exceptAll(b).count() + b.exceptAll(a).count()) == 0
+    out["sessions"] = b.count()
+    out["speedup"] = round(out["stateful_wall_s"] / out["routed_wall_s"], 2)
+    out["stateful_events_per_sec"] = round(n_events / out["stateful_wall_s"], 1)
+    out["routed_events_per_sec"] = round(n_events / out["routed_wall_s"], 1)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     scaling = "--scaling" in sys.argv
     workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/movex_bench")
+    if "--route-ab" in sys.argv:
+        spark = make_spark(CPUS)
+        n = int(os.environ.get("SPARK_GRAFT_ROUTE_EVENTS", "400000"))
+        epk = int(os.environ.get("SPARK_GRAFT_ROUTE_EV_PER_KEY", "8"))
+        print(json.dumps({"metric": "sessionize_backfill_route_ab",
+                          **run_sessionize_backfill_ab(spark, workdir, n, epk)}))
+        spark.stop()
+        return
     if "--mor" in sys.argv:
         spark = make_spark(CPUS)
         n = int(os.environ.get("SPARK_GRAFT_MOR_EVENTS", "200000"))
@@ -400,16 +464,20 @@ def main() -> None:
 
     spark = make_spark(CPUS)
     queries = run_queries(spark)
-    # best-of-N for the cdc_apply headline: a single sample inherits the
-    # host's full 1.3-1.6x noise band (BENCH_SCALING.md), which made
-    # round-over-round artifact deltas unreadable; repeats make the
-    # artifact reflect the engine, not the neighbor. All runs recorded.
-    apply_repeats = int(os.environ.get("SPARK_GRAFT_APPLY_REPEATS", "2"))
+    # median-of-N for the cdc_apply headline (ADVICE r4: best-of-N is
+    # upward-biased and made cross-round deltas compare different
+    # statistics). A single sample inherits the host's full 1.3-1.6x
+    # noise band (BENCH_SCALING.md); the median of 3 is noise-robust
+    # AND a real run. All runs recorded so any statistic can be
+    # recomputed from the artifact.
+    apply_repeats = int(os.environ.get("SPARK_GRAFT_APPLY_REPEATS", "3"))
     cdc_runs = [
         run_cdc_apply(spark, workdir, f"bench{CPUS}r{r}", CDC_EVENTS)
         for r in range(apply_repeats)
     ]
-    cdc = max(cdc_runs, key=lambda a: a["events_per_sec"])
+    # middle element by throughput = the median run (upper median when
+    # N is even), so the headline row is always an actual sample
+    cdc = sorted(cdc_runs, key=lambda a: a["events_per_sec"])[len(cdc_runs) // 2]
     sess = run_sessionize_stateful(spark, workdir, CDC_EVENTS)
     spark.stop()
     total = round(sum(queries.values()) + cdc["wall_s"], 3)
@@ -423,6 +491,7 @@ def main() -> None:
                 "queries": {**queries, "cdc_apply": cdc["wall_s"]},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_events_per_sec": cdc["events_per_sec"],
+                "cdc_headline_stat": f"median_of_{apply_repeats}",
                 "cdc_apply_all_runs_s": [a["wall_s"] for a in cdc_runs],
                 "cdc_events": CDC_EVENTS,
                 "cdc_epochs": cdc["epochs"],

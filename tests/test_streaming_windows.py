@@ -310,3 +310,36 @@ def test_state_schema_guard_fails_fast_with_remedy(spark, tmp_path):
         gap_sessionize_stateful(
             spark, d, ckpt, str(tmp_path / "out3"), EVENTS_SCHEMA
         )
+
+
+def test_sessionize_backfill_routes_and_matches_stateful(spark, tmp_path):
+    """Routed bounded backfill: the SQL window path must produce the
+    IDENTICAL closed-session set as the stateful operator on the same
+    input, and the router must pick SQL below the events/key threshold
+    and stateful above it (VERDICT r04 item 8)."""
+    from movex_cdc_spark.streaming.windows import sessionize_backfill
+
+    ev, d = _stage_time_ordered(tmp_path, sf="0.01")
+
+    # force both paths over the same input
+    r_sql = sessionize_backfill(
+        spark, d, str(tmp_path / "ck1"), str(tmp_path / "out_sql"), EVENTS_SCHEMA,
+        events_per_key_threshold=float("inf"),
+    )
+    assert r_sql["path"] == "sql"
+    r_st = sessionize_backfill(
+        spark, d, str(tmp_path / "ck2"), str(tmp_path / "out_st"), EVENTS_SCHEMA,
+        events_per_key_threshold=0.0,
+    )
+    assert r_st["path"] == "stateful"
+
+    a = (
+        spark.read.parquet(str(tmp_path / "out_sql")).toPandas()
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(str(tmp_path / "out_st")).toPandas()
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a[b.columns], b, check_dtype=False)
