@@ -338,6 +338,14 @@ class LakeTable:
             p = F.col(k).isNull()
             null_key_pred = p if null_key_pred is None else (null_key_pred | p)
 
+        import time as _time
+
+        # per-phase wall timings, recorded in the lineage so driver-side
+        # epoch cost is observable in production (and adjudicable in
+        # BENCH_SCALING.md) without ad-hoc instrumentation
+        timings: dict[str, float] = {}
+        _t = _time.monotonic()
+
         # bucket pruning: which buckets does this batch touch?
         if prune_source is not None:
             # Cheap probe path (streaming fast path): the caller's
@@ -378,6 +386,7 @@ class LakeTable:
             src_cached = True
             touched = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
             src_has_null_keys = True  # unknown — keep the null-safe branch
+        timings["probe_s"] = round(_time.monotonic() - _t, 4)
         if not touched:
             if src_cached:
                 src.unpersist()
@@ -466,6 +475,7 @@ class LakeTable:
         new_version = m["version"] + 1
         snap_rel = os.path.join("data", f"snap-{new_version}-{uuid.uuid4().hex[:8]}")
         snap_dir = os.path.join(self.path, snap_rel)
+        _t = _time.monotonic()
         try:
             (
                 result.withColumn(PART_COL, F.col(BUCKET_COL))
@@ -476,6 +486,8 @@ class LakeTable:
         finally:
             if src_cached:
                 src.unpersist()
+        timings["write_s"] = round(_time.monotonic() - _t, 4)
+        _t = _time.monotonic()
 
         # Contract guard: the snapshot commit only adopts buckets in
         # `touched`. If the write produced a bucket OUTSIDE that set,
@@ -509,12 +521,14 @@ class LakeTable:
             else:  # bucket became empty (everything merged away) — keep old? no rows
                 new_buckets[str(b)] = []
 
+        timings["listing_s"] = round(_time.monotonic() - _t, 4)
         lineage = {
             "version": new_version,
             "stream_id": stream_id,
             "epoch_id": epoch_id,
             "buckets_touched": sorted(touched),
             "buckets_total": n_buckets,
+            "timings": timings,
         }
         if lineage_extra:
             lineage.update(lineage_extra)
@@ -527,11 +541,13 @@ class LakeTable:
         if epoch_id is not None:
             m2["epochs"][stream_id] = epoch_id
         m2["lineage"] = (m.get("lineage") or [])[-99:] + [lineage]
+        _t = _time.monotonic()
         try:
             self._write_version(m2)
         except CommitConflict:
             self.fs.rmtree(snap_dir)
             raise
+        timings["commit_s"] = round(_time.monotonic() - _t, 4)
         return lineage
 
     def merge_with_retry(self, batch: DataFrame, max_attempts: int = 3, **kw) -> dict[str, Any]:

@@ -276,6 +276,7 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
         counter_scope = "deduped_keys"
 
     n_poison = 0
+    dl_wall = 0.0
     if dead_letter is not None:
         # Append poison rows BEFORE the merge commit: a crash between the
         # two can only replay the append, never lose it — and the dead
@@ -284,7 +285,9 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
         # reference's final-errors path (transfer_thread.rb:468-491).
         # Runs even when the merge will be empty — a batch can be ALL
         # poison.
+        _t = time.monotonic()
         n_poison = dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
+        dl_wall = round(time.monotonic() - _t, 4)
 
     lineage = table.merge(
         ready,
@@ -296,6 +299,11 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
     )
     lineage["merge_latency_s"] = round(time.monotonic() - t0, 4)
     lineage["n_poison"] = n_poison
+    if dead_letter is not None:
+        # the dead-letter append is the batch's FIRST action, so its
+        # wall includes materializing the micro-batch cache — recorded
+        # next to merge's per-phase timings for epoch-cost adjudication
+        lineage.setdefault("timings", {})["dl_append_s"] = dl_wall
     if lineage.get("skipped"):
         return lineage
     # Counter semantics differ by attach point and are recorded, never
@@ -348,6 +356,7 @@ def apply_batch_unkeyed(
         # NULL for mode 'N' (consumers must not assume per-key order)
         valid = valid.withColumn("msg_key", table_cfg.key_column())
     n_poison = 0
+    dl_wall = 0.0
     if dead_letter is not None:
         n_poison = dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
     lineage = log.append(valid, stream_id=stream_id, epoch_id=epoch_id)
