@@ -106,4 +106,120 @@ class LocalFS:
         shutil.rmtree(path, ignore_errors=True)
 
 
+class HadoopFS:
+    """Hadoop FileSystem implementation of the seam via ``spark._jvm``
+    — the cluster deployment path (``hdfs://``, ``abfs://``, and any
+    other scheme with atomic rename + exclusive create; for S3 use a
+    catalog-pointer variant of ``replace_text`` as documented above).
+
+    Each method is the single Hadoop FS call the LocalFS docstrings
+    name. Locally it runs against ``file://`` (Hadoop's
+    LocalFileSystem), which is how the test suite proves the swap is
+    mechanical without a cluster: the SAME LakeTable code commits
+    through Hadoop IO instead of ``os.*``.
+
+    The two commit primitives keep their required semantics:
+    ``create_exclusive_text`` uses ``create(path, overwrite=false)``
+    (atomic-exclusive on HDFS; FileAlreadyExistsException →
+    FileExistsError), and ``replace_text`` renames through
+    ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — the
+    FileContext API, because plain ``FileSystem.rename`` refuses an
+    existing destination instead of atomically replacing it."""
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._gw = spark.sparkContext._gateway
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    # ------------------------------------------------------- plumbing
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, path: str):
+        return self._p(path).getFileSystem(self._conf)
+
+    # ------------------------------------------------------------ read
+    def read_text(self, path: str) -> str:
+        fs = self._fs(path)
+        p = self._p(path)
+        if not fs.exists(p):
+            raise FileNotFoundError(path)
+        stream = fs.open(p)
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs(path).exists(self._p(path)))
+
+    def isdir(self, path: str) -> bool:
+        fs = self._fs(path)
+        p = self._p(path)
+        return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+    def listdir(self, path: str) -> list[str]:
+        fs = self._fs(path)
+        return [
+            s.getPath().getName() for s in fs.listStatus(self._p(path))
+        ]
+
+    def walk(self, path: str) -> Iterator[tuple[str, list[str], list[str]]]:
+        fs = self._fs(path)
+        if not fs.exists(self._p(path)):
+            return
+        dirs, files = [], []
+        for s in fs.listStatus(self._p(path)):
+            (dirs if s.isDirectory() else files).append(s.getPath().getName())
+        yield path, dirs, files
+        for d in dirs:
+            yield from self.walk(os.path.join(path, d))
+
+    # ----------------------------------------------------------- write
+    def makedirs(self, path: str, exist_ok: bool = False) -> None:
+        fs = self._fs(path)
+        p = self._p(path)
+        if not exist_ok and fs.exists(p):
+            raise FileExistsError(path)
+        fs.mkdirs(p)
+
+    def _write_stream(self, path: str, text: str, overwrite: bool) -> None:
+        fs = self._fs(path)
+        out = fs.create(self._p(path), overwrite)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def create_exclusive_text(self, path: str, text: str) -> None:
+        try:
+            self._write_stream(path, text, overwrite=False)
+        except Exception as e:  # Py4JJavaError wrapping the Java exception
+            if "FileAlreadyExists" in str(e) or "already exists" in str(e):
+                raise FileExistsError(path) from e
+            raise
+
+    def replace_text(self, path: str, text: str) -> None:
+        import uuid
+
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        self._write_stream(tmp, text, overwrite=False)
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._p(path).toUri(), self._conf
+        )
+        ren = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gw.new_array(ren, 1)
+        opts[0] = ren.OVERWRITE
+        fc.rename(self._p(tmp), self._p(path), opts)
+
+    # ---------------------------------------------------------- delete
+    def remove(self, path: str) -> None:
+        self._fs(path).delete(self._p(path), False)
+
+    def rmtree(self, path: str) -> None:
+        self._fs(path).delete(self._p(path), True)
+
+
 DEFAULT_FS = LocalFS()

@@ -15,14 +15,15 @@
         --config      conf/capture.json \\
         --payload-format --salted --buckets 4096
 
-Storage contract: the lake/log METADATA layer commits through POSIX
-atomic rename (open/os.replace), so ``--table-dir`` and friends must be
-on a filesystem every driver restart can reach with rename semantics —
-a cluster-shared mount (NFS/Lustre/FUSE) or local disk for single-node
-runs. Object stores (s3://) would need the Hadoop FileSystem API in the
-metadata layer; the parquet DATA files already go through Spark's
-writers and are store-agnostic. Same class of sandbox note as the
-Iceberg-jar substitution (lake/table.py).
+Storage contract: the lake/log METADATA layer commits through the
+filesystem seam (lake/fs.py). The default ``--fs local`` uses POSIX
+atomic rename — ``--table-dir`` and friends on a cluster-shared mount
+(NFS/Lustre/FUSE) or local disk. ``--fs hadoop`` routes metadata
+commits through the Hadoop FileSystem API (spark._jvm): hdfs://,
+abfs://, or any scheme with atomic rename + exclusive create; S3
+additionally needs the conditional-PUT/catalog-pointer variant of
+``replace_text`` documented in lake/fs.py. The parquet DATA files
+always go through Spark's writers and are store-agnostic either way.
 
 Locally (tests/bench) the same script runs on ``local[N]`` — the
 session factory sets a local master only when not launched through
@@ -59,6 +60,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="processing-time interval for a continuous run, e.g. '30 seconds'")
     p.add_argument("--timeout-s", type=int, default=3600,
                    help="available-now drain timeout")
+    p.add_argument("--fs", choices=["local", "hadoop"], default="local",
+                   help="metadata-IO seam impl: POSIX (shared mount) or "
+                        "Hadoop FileSystem (hdfs://, abfs://, ...)")
     return p.parse_args(argv)
 
 
@@ -74,11 +78,17 @@ def main(argv: list[str] | None = None) -> int:
     from movex_cdc_spark.streaming.pipeline import CdcStreamPipeline
 
     spark = get_spark(app_name="movex-cdc-pipeline")
+    fs = None
+    if args.fs == "hadoop":
+        from movex_cdc_spark.lake.fs import HadoopFS
+
+        fs = HadoopFS(spark)
     try:
-        table = LakeTable.load(spark, args.table_dir)
+        table = LakeTable.load(spark, args.table_dir, fs=fs)
     except FileNotFoundError:
         table = LakeTable.create(
-            spark, args.table_dir, REPO_FILES_SCHEMA, KEY_COLS, n_buckets=args.buckets
+            spark, args.table_dir, REPO_FILES_SCHEMA, KEY_COLS,
+            n_buckets=args.buckets, fs=fs,
         )
     sink = (
         MergeOnReadTable(table, args.table_dir + "_delta", compact_rows=args.compact_rows)

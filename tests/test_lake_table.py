@@ -287,3 +287,36 @@ def test_fs_seam_carries_all_metadata_io(spark, tmp_lake):
     assert fs.calls["create_exclusive_text"] == 3
     assert fs.calls["replace_text"] == 3
     assert fs.calls["read_text"] > 0 and fs.calls["listdir"] > 0
+
+
+def test_hadoop_fs_impl_runs_the_table(spark, tmp_lake):
+    """The cluster seam impl (HadoopFS over spark._jvm) drives the SAME
+    LakeTable code against Hadoop's local FileSystem (file://) —
+    proving the LocalFS→cluster swap is mechanical: metadata commits,
+    the exclusive-create commit lock, and the FileContext OVERWRITE
+    rename all run through Hadoop IO, no os.* involved."""
+    from movex_cdc_spark.lake.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    t = LakeTable.create(spark, tmp_lake, REPO_FILES_SCHEMA, KEY_COLS,
+                         n_buckets=4, fs=fs)
+    t.merge(_batch(spark, [(1, "r", "p", "c", "py", "v1", "I")]), epoch_id=0)
+    t.merge(_batch(spark, [(2, "r", "p", "c", "py", "v2", "U")]), epoch_id=1)
+    assert t.read().collect()[0]["content"] == "v2"
+    assert t.current_version() == 2
+
+    # commit lock: double-commit of one version -> CommitConflict
+    m = t.meta()
+    m2 = dict(m); m2["version"], m2["parent"] = m["version"] + 1, m["version"]
+    t._write_version(m2)
+    with pytest.raises(CommitConflict):
+        t._write_version(dict(m2))
+
+    # a LocalFS-handled reader sees the same committed table (both
+    # impls speak the same on-disk format)
+    t2 = LakeTable.load(spark, tmp_lake)
+    assert t2.read().collect()[0]["content"] == "v2"
+
+    # fenced replay still no-op through the Hadoop impl
+    lin = t.merge(_batch(spark, [(1, "r", "p", "c", "py", "v1", "I")]), epoch_id=0)
+    assert lin.get("skipped")
