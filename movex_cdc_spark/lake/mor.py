@@ -54,12 +54,13 @@ class MergeOnReadTable:
     ):
         self.base = base
         self.spark = base.spark
+        # the delta log lives next to the base table: same fs seam
         try:
-            self.delta = UnkeyedEventLog.load(self.spark, delta_path)
+            self.delta = UnkeyedEventLog.load(self.spark, delta_path, fs=base.fs)
         except FileNotFoundError:
             # only a MISSING delta may be created; corrupt metadata must
             # propagate rather than silently shadowing buffered changes
-            self.delta = UnkeyedEventLog.create(self.spark, delta_path)
+            self.delta = UnkeyedEventLog.create(self.spark, delta_path, fs=base.fs)
         self.compact_rows = compact_rows
         # reader-retention window for drained delta segments, in delta
         # METADATA VERSIONS (each epoch advances two: append + counter);

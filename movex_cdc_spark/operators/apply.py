@@ -442,28 +442,28 @@ class DeadLetterTable:
     (the crash window between the two stays loss-free AND
     duplicate-free)."""
 
-    def __init__(self, spark, path: str):
-        import os
-
+    def __init__(self, spark, path: str, fs=None):
         from movex_cdc_spark.lake.append_log import UnkeyedEventLog
+        from movex_cdc_spark.lake.fs import DEFAULT_FS
 
         self.spark = spark
         self.path = path
+        fs = fs or DEFAULT_FS
         try:
-            self.log = UnkeyedEventLog.load(spark, path)
+            self.log = UnkeyedEventLog.load(spark, path, fs=fs)
         except FileNotFoundError:
             # only a MISSING log may be created; a dir that holds data
             # but no _meta is a legacy/foreign store — creating an empty
             # log over it would silently orphan its rows. Any other load
             # error (corrupt metadata) propagates as-is.
-            if os.path.isdir(path) and any(
-                f.endswith(".parquet") for f in os.listdir(path)
+            if fs.isdir(path) and any(
+                f.endswith(".parquet") for f in fs.listdir(path)
             ):
                 raise ValueError(
                     f"{path} holds parquet files but no log metadata — "
                     "not re-initializing over existing quarantine data"
                 )
-            self.log = UnkeyedEventLog.create(spark, path)
+            self.log = UnkeyedEventLog.create(spark, path, fs=fs)
 
     def append(self, poison: DataFrame, stream_id: str, epoch_id: int | None) -> int:
         out = (

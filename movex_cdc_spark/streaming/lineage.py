@@ -71,6 +71,14 @@ _ARROW_SCHEMA = pa.schema(
 
 
 class MetricsTable:
+    """Driver-local buffered metrics writer. Deliberately NOT behind the
+    lake fs seam: rows are flushed with pyarrow from the driver (no
+    Spark job, no 1-row files), and losing the unflushed window on a
+    crash is the documented trade (the data path is exactly-once; the
+    reference's concentrator makes the same trade). On a cluster point
+    ``path`` at a shared mount, or swap ``pq.write_table`` to an
+    fsspec filesystem — pyarrow accepts one directly."""
+
     def __init__(self, spark: SparkSession, path: str, flush_every: int = 16):
         self.spark = spark
         self.path = path

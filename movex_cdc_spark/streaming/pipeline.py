@@ -60,13 +60,20 @@ class CdcStreamPipeline:
         table_name: str | None = None,
         unkeyed_log: "object | None" = None,
         envelope_sink: "object | None" = None,
+        fs=None,
     ):
         self.spark = spark
         self.table = table
         self.events_dir = events_dir
         self.checkpoint_dir = checkpoint_dir
         self.stream_id = stream_id
-        self.dead_letter = DeadLetterTable(spark, dead_letter_dir) if dead_letter_dir else None
+        # fs seam for the quarantine/sink logs this pipeline constructs
+        # itself (the lake table carries its own); lets --fs hadoop
+        # deployments keep EVERY metadata commit off the local FS
+        self.fs = fs
+        self.dead_letter = (
+            DeadLetterTable(spark, dead_letter_dir, fs=fs) if dead_letter_dir else None
+        )
         self.metrics = MetricsTable(spark, metrics_dir) if metrics_dir else None
         self.condition_sql = condition_sql
         self.salted = salted
@@ -154,7 +161,9 @@ class CdcStreamPipeline:
                 # envelope-shaped rejects get their own quarantine dir —
                 # mixing them into the event-shaped dead letters would
                 # corrupt that table's read schema
-                DeadLetterTable(self.spark, self.dead_letter.path + "_envelope").append(
+                DeadLetterTable(
+                    self.spark, self.dead_letter.path + "_envelope", fs=self.fs
+                ).append(
                     sink_lin.pop("rejected_df"),
                     stream_id=f"{self.stream_id}-sink",
                     epoch_id=epoch_id,

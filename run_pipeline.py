@@ -94,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         MergeOnReadTable(table, args.table_dir + "_delta", compact_rows=args.compact_rows)
         if args.mor
         else table
-    )
+    )  # MoR inherits the base table's fs for its delta log
     config = EngineConfig.load(args.config) if args.config else None
 
     # single-writer guard on the checkpoint home (reference heartbeat.rb)
@@ -116,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
         payload_format=args.payload_format,
         config=config,
         table_name=args.table_name,
+        fs=fs,
     )
     if args.trigger:
         q = pipe.start(available_now=False, processing_time=args.trigger)
