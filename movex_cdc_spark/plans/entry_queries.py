@@ -775,6 +775,63 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_quarantine",
+    """
+    SELECT i AS media_id, false AS has_error, CAST(NULL AS VARCHAR) AS error_kind
+    FROM range(0, 24) t(i)
+    UNION ALL SELECT 100, true, 'bad_magic'
+    UNION ALL SELECT 101, true, 'empty_units'
+    UNION ALL SELECT 102, true, 'empty_units'
+    UNION ALL SELECT 103, true, 'truncated'
+    """,
+)
+def multimodal_quarantine(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP per-row media quarantine (ADVICE r4 landed as
+    an oracle row): a batch mixing 24 genuinely-encoded payloads with 4
+    deterministic corrupt ones (wrong magic, zero-sample WAV, zero-frame
+    VID0, truncated PPM) flows through the real mapInPandas decode. The
+    corrupt rows must come back flagged with their error class — not
+    crash the task, not vanish — and every good row must decode clean.
+    """
+    import numpy as np
+
+    from movex_cdc_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        encode_vid0,
+        encode_wav,
+        extract_features,
+        synthesize_media,
+    )
+
+    good = synthesize_media(spark, n=24)
+    trunc = encode_ppm(4, 3, (np.arange(36) % 256).astype(np.uint8))[:-5]
+    bad = spark.createDataFrame(
+        [
+            (100, "image", bytearray(b"JFIF not a ppm"), ("image/ppm", 4, 3, 0)),
+            (101, "audio", bytearray(encode_wav(np.array([], dtype=np.int16))),
+             ("audio/wav", None, None, 0)),
+            (102, "video", bytearray(encode_vid0(2, 2, np.array([], dtype=np.uint8))),
+             ("video/x-vid0", 2, 2, 0)),
+            (103, "image", bytearray(trunc), ("image/ppm", 4, 3, 0)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = extract_features(good.unionByName(bad))
+    return feats.select(
+        "media_id",
+        F.col("decode_error").isNotNull().alias("has_error"),
+        F.when(F.col("decode_error").contains("not a"), "bad_magic")
+        .when(F.col("decode_error").contains("zero decoded units"), "empty_units")
+        .when(
+            F.col("decode_error").rlike("truncated|data size"), "truncated"
+        )
+        .otherwise(F.col("decode_error"))
+        .alias("error_kind"),
+    )
+
+
+@register(
     "dedup_duplicate_groups",
     f"""
     WITH RECURSIVE {_SHINGLES_CTE},

@@ -128,8 +128,14 @@ class MetricsTable:
         df = self.read()
         if df is None:
             return None
+        # counter_scope joins the grouping so a stream that switched
+        # apply paths mid-history (probe ↔ generic) can never sum
+        # pre-LWW event counts with post-LWW key counts into one cell —
+        # the same never-mix rule the per-epoch rows carry (ADVICE r4)
         return (
-            df.groupBy(F.window("end_ts", grain).alias("w"), "stream_id")
+            df.groupBy(
+                F.window("end_ts", grain).alias("w"), "stream_id", "counter_scope"
+            )
             .agg(
                 F.sum("events").alias("events"),
                 F.sum("n_insert").alias("n_insert"),
@@ -139,7 +145,7 @@ class MetricsTable:
                 F.max("max_seq").alias("max_seq"),
                 F.sum("merge_latency_s").alias("merge_latency_s"),
             )
-            .select(F.col("w.start").alias("window_start"), "stream_id", "events",
-                    "n_insert", "n_update", "n_delete", "n_poison", "max_seq",
-                    "merge_latency_s")
+            .select(F.col("w.start").alias("window_start"), "stream_id",
+                    "counter_scope", "events", "n_insert", "n_update", "n_delete",
+                    "n_poison", "max_seq", "merge_latency_s")
         )
