@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from typing import Any
 
@@ -627,6 +628,16 @@ class LakeTable:
         for entry in sorted(self.fs.listdir(self.data_dir)):
             top = os.path.join(self.data_dir, entry)
             if not self.fs.isdir(top):
+                continue
+            # In-flight-writer guard: a dir staged at a version BEYOND
+            # the committed head belongs to a writer that may still be
+            # running (optimistic concurrency) — its files are not in
+            # any listing yet, which is exactly what a dead dir looks
+            # like. Only dirs at <= cur are reapable: a crash orphan's
+            # version is reached (and passed) by the replay commit, so
+            # orphans become eligible on the next expire after recovery.
+            m_ver = re.match(r"snap-(\d+)(?:-|$)", entry)
+            if m_ver and int(m_ver.group(1)) > cur:
                 continue
             pq: list[str] = []
             for root, _dirs, files in self.fs.walk(top):

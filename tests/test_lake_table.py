@@ -320,3 +320,33 @@ def test_hadoop_fs_impl_runs_the_table(spark, tmp_lake):
     # fenced replay still no-op through the Hadoop impl
     lin = t.merge(_batch(spark, [(1, "r", "p", "c", "py", "v1", "I")]), epoch_id=0)
     assert lin.get("skipped")
+
+
+def test_expire_skips_in_flight_staged_snapshot(spark, tmp_lake):
+    """expire_snapshots must not reap a snapshot dir staged BEYOND the
+    committed head: an optimistic concurrent writer's in-flight staging
+    dir has no files in any listing — indistinguishable from a dead dir
+    except by its version. Crash orphans become reapable only after the
+    replay commits past their version."""
+    import os
+    import shutil
+
+    t = _table(spark, tmp_lake, n_buckets=2)
+    t.merge(_batch(spark, [(1, "r", "p", "c", "py", "v1", "I")]), epoch_id=0)
+    cur = t.current_version()
+    data_dir = os.path.join(tmp_lake, "data")
+    committed = [d for d in os.listdir(data_dir) if d.startswith(f"snap-{cur}-")]
+    # simulate another writer mid-staging at cur+1 by copying a real
+    # snapshot dir (has parquet files, referenced by no listing)
+    inflight = os.path.join(data_dir, f"snap-{cur + 1}-deadbeef")
+    shutil.copytree(os.path.join(data_dir, committed[0]), inflight)
+    t.expire_snapshots(keep_last=1)
+    assert os.path.isdir(inflight), "in-flight staged snapshot was reaped"
+    # once the head moves past it, an unreferenced dir at that version
+    # is a crash orphan and gets reaped
+    t.merge(_batch(spark, [(2, "r", "p", "c", "py", "v2", "U")]), epoch_id=1)
+    assert t.current_version() == cur + 1
+    t.merge(_batch(spark, [(3, "r", "p", "c", "py", "v3", "U")]), epoch_id=2)
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0 and not os.path.isdir(inflight)
+    assert t.read().collect()[0]["content"] == "v3"
