@@ -321,6 +321,12 @@ def test_hadoop_fs_impl_runs_the_table(spark, tmp_lake):
     lin = t.merge(_batch(spark, [(1, "r", "p", "c", "py", "v1", "I")]), epoch_id=0)
     assert lin.get("skipped")
 
+    # snapshot expiry walks/reaps through Hadoop IO too
+    t.merge(_batch(spark, [(3, "r", "p", "c", "py", "v3", "U")]), epoch_id=2)
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert t.read().collect()[0]["content"] == "v3"
+
 
 def test_expire_skips_in_flight_staged_snapshot(spark, tmp_lake):
     """expire_snapshots must not reap a snapshot dir staged BEYOND the
