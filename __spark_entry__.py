@@ -49,7 +49,7 @@ _PRIORITY = [
 # windows; minhash/simhash/ngram/groups for dedup; cosine_topk/
 # lsh_bucketed/ivf_probe for ANN; text_analysis_battery +
 # pipeline_clean_corpus for text; dedup_embedding_cosine for the
-# embedding family), and pytest covers all seven every round.
+# embedding family), and pytest covers all eight every round.
 # ROTATION CONTRACT: next round swaps this set for different
 # multi-round-green rows so no registered query goes more than one
 # round without a driver row.

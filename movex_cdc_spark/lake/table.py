@@ -629,15 +629,20 @@ class LakeTable:
             top = os.path.join(self.data_dir, entry)
             if not self.fs.isdir(top):
                 continue
-            # In-flight-writer guard: a dir staged at a version BEYOND
-            # the committed head belongs to a writer that may still be
-            # running (optimistic concurrency) — its files are not in
-            # any listing yet, which is exactly what a dead dir looks
-            # like. Only dirs at <= cur are reapable: a crash orphan's
-            # version is reached (and passed) by the replay commit, so
-            # orphans become eligible on the next expire after recovery.
+            # In-flight-writer guard: a dir staged by an optimistic
+            # writer that has not committed yet has files in NO listing
+            # — indistinguishable from a dead dir except by version. A
+            # loser that read version v stages at v+1, which can trail
+            # the head by however long its write takes, so the reap
+            # horizon gets the SAME keep_last grace the file-retention
+            # horizon uses: only dirs at <= cur - keep_last are
+            # eligible. Crash orphans age into eligibility as commits
+            # advance; a writer still staging keep_last commits behind
+            # the head would lose its CommitConflict race anyway (its
+            # write failing uncleanly instead is the documented residual
+            # of running expire concurrently with very slow writers).
             m_ver = re.match(r"snap-(\d+)(?:-|$)", entry)
-            if m_ver and int(m_ver.group(1)) > cur:
+            if m_ver and int(m_ver.group(1)) > cur - keep_last:
                 continue
             pq: list[str] = []
             for root, _dirs, files in self.fs.walk(top):

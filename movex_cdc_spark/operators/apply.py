@@ -302,7 +302,11 @@ def _apply_prepared(table, ready, poison, epoch_id, stream_id, dead_letter, metr
     if dead_letter is not None:
         # the dead-letter append is the batch's FIRST action, so its
         # wall includes materializing the micro-batch cache — recorded
-        # next to merge's per-phase timings for epoch-cost adjudication
+        # next to merge's per-phase timings for epoch-cost adjudication.
+        # NOTE: this and commit_s ride the RETURNED lineage record (the
+        # driver's epochs list / logs); the lineage row serialized into
+        # the table metadata is frozen before the commit finishes, so
+        # it carries only the pre-commit phases (probe/write/listing).
         lineage.setdefault("timings", {})["dl_append_s"] = dl_wall
     if lineage.get("skipped"):
         return lineage
@@ -356,7 +360,6 @@ def apply_batch_unkeyed(
         # NULL for mode 'N' (consumers must not assume per-key order)
         valid = valid.withColumn("msg_key", table_cfg.key_column())
     n_poison = 0
-    dl_wall = 0.0
     if dead_letter is not None:
         n_poison = dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
     lineage = log.append(valid, stream_id=stream_id, epoch_id=epoch_id)

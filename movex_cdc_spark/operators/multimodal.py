@@ -267,12 +267,13 @@ def extract_features(
     """
     spark = df.sparkSession
     if payload_bytes_hint is None and not df.isStreaming:
-        row = (
-            df.select(F.octet_length("payload").alias("b"))
-            .limit(4096)
-            .agg(F.max("b").alias("m"))
-            .first()
-        )
+        # FULL-frame max, not a sample: a limit() probe can miss the
+        # very payloads the guard exists for (small rows first, 10 MB
+        # videos later). One column-pruned agg over the payload column
+        # — bounded by the decode pass that follows, which scans the
+        # same bytes anyway; callers that know their corpus pass
+        # payload_bytes_hint and skip it.
+        row = df.agg(F.max(F.octet_length("payload")).alias("m")).first()
         payload_bytes_hint = int(row["m"] or 0)
     if payload_bytes_hint is not None:
         guard_arrow_batch_for_media(spark, payload_bytes_hint)
@@ -283,6 +284,8 @@ def extract_features(
             errs: list[str | None] = []
             for p, k in zip(pdf["payload"], pdf["kind"]):
                 try:
+                    if p is None:
+                        raise ValueError("null payload")
                     units, d1, d2 = decode(bytes(p), k)
                     if units.size == 0:
                         # structurally valid but empty (zero-sample WAV,
@@ -304,7 +307,9 @@ def extract_features(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "n_bytes": pdf["payload"]
+                    .map(lambda b: len(b) if b is not None else 0)
+                    .astype("int32"),
                     "feature": feats,
                     "decode_error": errs,
                 }

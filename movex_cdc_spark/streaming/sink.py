@@ -55,10 +55,14 @@ MAX_MESSAGE_BYTES = 1_000_000  # reference MAX_KAFKA_MESSAGE_SIZE analog
 # TYPE_2 → comma + tz with colon). Emitted as anchored regexes so a
 # format/config mismatch rejects the row instead of shipping a contract
 # violation downstream.
+# [+-]: a configured negative tz_offset (db west of Greenwich) is a
+# legal envelope, not a malformed one. (The reference's mock assumes a
+# positive offset — kafka_mock.rb splits on '+' — but that is a test-
+# double shortcut, not the producer contract.)
 _TS_PATTERNS = {
-    None: r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}\+\d{2}:\d{2}$",
-    "TYPE_1": r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2},\d{6}\+\d{4}$",
-    "TYPE_2": r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2},\d{6}\+\d{2}:\d{2}$",
+    None: r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}[+-]\d{2}:\d{2}$",
+    "TYPE_1": r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2},\d{6}[+-]\d{4}$",
+    "TYPE_2": r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2},\d{6}[+-]\d{2}:\d{2}$",
 }
 
 

@@ -302,10 +302,16 @@ def sessionize_sql_closed(ev: DataFrame) -> DataFrame:
         "session_id",
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
     )
+    # first/last_seq follow the stateful twin's contract exactly: the
+    # event id of the FIRST/LAST row in (ts, event_id) order — NOT
+    # min/max(event_id), which diverges when ids are not time-monotone
+    # within a session (they need not be: ids are global, time is
+    # per-user)
+    order = F.struct("__ts_us", "event_id")
     agg = s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("events_in_session"),
-        F.min("event_id").alias("first_seq"),
-        F.max("event_id").alias("last_seq"),
+        F.min_by("event_id", order).alias("first_seq"),
+        F.max_by("event_id", order).alias("last_seq"),
     )
     wmax = Window.partitionBy("user_id")
     return (
@@ -356,7 +362,12 @@ def sessionize_backfill(
     ).first()
     n, k = int(row["n"]), max(int(row["k"]), 1)
     if n / k <= events_per_key_threshold:
-        sessionize_sql_closed(ev).write.parquet(out_dir, mode="append")
+        # overwrite = the idempotent choice for a bounded recompute: a
+        # crashed or retried backfill rewrites the same deterministic
+        # result instead of appending duplicates (the stateful route
+        # gets the same property from its checkpoint; out_dir is owned
+        # by this backfill either way)
+        sessionize_sql_closed(ev).write.parquet(out_dir, mode="overwrite")
         return {"path": "sql", "events": n, "keys": k}
     q = gap_sessionize_stateful(
         spark, events_dir, checkpoint_dir, out_dir, schema,
@@ -366,7 +377,9 @@ def sessionize_backfill(
     return {"path": "stateful", "events": n, "keys": k}
 
 
-def _guard_state_schema(checkpoint_dir: str, state_schema: T.StructType) -> None:
+def _guard_state_schema(
+    checkpoint_dir: str, state_schema: T.StructType, spark: SparkSession | None = None
+) -> None:
     """Startup guard for the state-schema migration note above: the
     engine stamps every sessionizer checkpoint with its state schema
     (``_movex_state_schema.json``); on resume a mismatch — or a
@@ -378,6 +391,16 @@ def _guard_state_schema(checkpoint_dir: str, state_schema: T.StructType) -> None
     import json
     import os
 
+    from movex_cdc_spark.lake.fs import DEFAULT_FS, HadoopFS
+
+    # a scheme-qualified checkpoint (hdfs://, s3a://, ...) must be
+    # validated THROUGH that filesystem — local os.path checks against
+    # a URI string are silently false and would bypass the guard
+    fs = (
+        HadoopFS(spark)
+        if ("://" in checkpoint_dir and spark is not None)
+        else DEFAULT_FS
+    )
     remedy = (
         "restart the stream with a FRESH checkpoint dir — the source "
         "replays from the log and the epoch-fenced sink makes the "
@@ -386,9 +409,8 @@ def _guard_state_schema(checkpoint_dir: str, state_schema: T.StructType) -> None
     )
     stamp = os.path.join(checkpoint_dir, "_movex_state_schema.json")
     want = state_schema.jsonValue()
-    if os.path.exists(stamp):
-        with open(stamp) as f:
-            have = json.load(f)
+    if fs.exists(stamp):
+        have = json.loads(fs.read_text(stamp))
         if have != want:
             raise RuntimeError(
                 f"sessionizer checkpoint {checkpoint_dir} was created under a "
@@ -397,15 +419,14 @@ def _guard_state_schema(checkpoint_dir: str, state_schema: T.StructType) -> None
                 f"applyInPandasWithState state — {remedy}"
             )
         return
-    if os.path.isdir(os.path.join(checkpoint_dir, "state")):
+    if fs.isdir(os.path.join(checkpoint_dir, "state")):
         raise RuntimeError(
             f"sessionizer checkpoint {checkpoint_dir} carries state but no "
             f"engine schema stamp (written by a pre-guard engine version); "
             f"its state schema cannot be validated — {remedy}"
         )
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    with open(stamp, "w") as f:
-        json.dump(want, f)
+    fs.makedirs(checkpoint_dir, exist_ok=True)
+    fs.replace_text(stamp, json.dumps(want))
 
 
 def gap_sessionize_stateful(
@@ -433,7 +454,7 @@ def gap_sessionize_stateful(
     store sized by ACTIVE keys; without it (default), open sessions
     are carried forever (the registered oracle row uses the default,
     whose 'last session stays open' contract is SQL-mirrorable)."""
-    _guard_state_schema(checkpoint_dir, SESSION_STATE)
+    _guard_state_schema(checkpoint_dir, SESSION_STATE, spark)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -216,11 +216,18 @@ def test_crash_between_snapshot_write_and_commit_replays_clean(spark, tmp_lake):
     assert len(rows) == 1 and rows[0]["content"] == "v2"
     assert len([d for d in os.listdir(data_dir) if d.startswith("snap-2-")]) == 2
 
-    # the orphan is unreferenced by any kept version -> liveness reap
+    # inside the keep_last grace window the orphan is NOT touched (it
+    # is version-indistinguishable from a slow in-flight writer's
+    # staging dir); once the head advances past version+keep_last it
+    # ages into eligibility and the liveness reap takes it
+    assert t.expire_snapshots(keep_last=2) == 0
+    assert len([d for d in os.listdir(data_dir) if d.startswith("snap-2-")]) == 2
+    t.merge(_batch(spark, [(3, "r", "p", "c", "py", "v3", "U")]), epoch_id=2)
+    t.merge(_batch(spark, [(4, "r", "p", "c", "py", "v4", "U")]), epoch_id=3)
     removed = t.expire_snapshots(keep_last=2)
     assert removed > 0
-    assert len([d for d in os.listdir(data_dir) if d.startswith("snap-2-")]) == 1
-    assert t.read().collect()[0]["content"] == "v2"
+    assert len([d for d in os.listdir(data_dir) if d.startswith("snap-2-")]) == 0
+    assert t.read().collect()[0]["content"] == "v4"
 
 
 def test_crash_between_overwrite_write_and_commit_replays_clean(spark, tmp_lake):

@@ -195,16 +195,19 @@ def test_multimodal_corrupt_rows_quarantined_not_task_fatal(spark):
          ("audio/wav", None, None, 0)),
         (102, "video", bytearray(encode_vid0(2, 2, np.array([], dtype=np.uint8))),
          ("video/x-vid0", 2, 2, 0)),
+        (103, "image", None, ("image/ppm", 0, 0, 0)),  # NULL payload
     ]
     media = spark.createDataFrame([tuple(r) for r in good] + bad_rows, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in extract_features(media).collect()}
-    assert len(out) == 9
+    assert len(out) == 10
     for r in good:
         row = out[r["media_id"]]
         assert row["decode_error"] is None and len(row["feature"]) == 8
     assert out[100]["feature"] is None and "not a P6" in out[100]["decode_error"]
     assert out[101]["feature"] is None and "empty audio" in out[101]["decode_error"]
     assert out[102]["feature"] is None and "empty video" in out[102]["decode_error"]
+    assert out[103]["feature"] is None and "null payload" in out[103]["decode_error"]
+    assert out[103]["n_bytes"] == 0
 
 
 def test_arrow_batch_guard_lowers_conf_for_large_payloads(spark):

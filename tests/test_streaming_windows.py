@@ -343,3 +343,51 @@ def test_sessionize_backfill_routes_and_matches_stateful(spark, tmp_path):
     )
     assert len(a) == len(b) > 0
     pd.testing.assert_frame_equal(a[b.columns], b, check_dtype=False)
+
+
+def test_sessionize_backfill_identity_under_scrambled_ids(spark, tmp_path):
+    """The SQL twin must match the stateful operator when event ids are
+    NOT time-monotone within a session (ids are global, time is
+    per-user): first/last_seq follow (ts, event_id) order, not
+    min/max(event_id). Same adversarial shape as the ties/multichunk
+    test — id wrap mid-session breaks a min/max implementation."""
+    from movex_cdc_spark.streaming.windows import sessionize_backfill
+
+    n_sessions, per = 10, 30
+    n = n_sessions * per
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for s in range(n_sessions):
+        for j in range(per):
+            i = s * per + j
+            rows.append((
+                (i * 7) % n,  # gcd(7, 300) = 1 -> unique scrambled ids
+                base + pd.Timedelta(hours=2 * s, seconds=10 * (j // 3)),
+                1, "tick", float(i), "{}",
+            ))
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).sort_values("event_id").reset_index(drop=True)
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    _write_events(ev, os.path.join(d, "ev-000.parquet"))
+
+    r_sql = sessionize_backfill(
+        spark, d, str(tmp_path / "ck1"), str(tmp_path / "out_sql"), EVENTS_SCHEMA,
+        events_per_key_threshold=float("inf"),
+    )
+    r_st = sessionize_backfill(
+        spark, d, str(tmp_path / "ck2"), str(tmp_path / "out_st"), EVENTS_SCHEMA,
+        events_per_key_threshold=0.0,
+    )
+    assert (r_sql["path"], r_st["path"]) == ("sql", "stateful")
+    a = (
+        spark.read.parquet(str(tmp_path / "out_sql")).toPandas()
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(str(tmp_path / "out_st")).toPandas()
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    assert len(a) == len(b) == n_sessions - 1
+    pd.testing.assert_frame_equal(a[b.columns], b, check_dtype=False)
