@@ -85,10 +85,17 @@ class UnkeyedEventLog:
     @classmethod
     def create(cls, spark: SparkSession, path: str, fs=None) -> "UnkeyedEventLog":
         log = cls(spark, path, fs=fs)
-        log.fs.makedirs(log.meta_dir, exist_ok=False)
-        log._write_version(
-            {"version": 0, "files": [], "epochs": {}, "schema": None, "retired": []}
-        )
+        # creation lock = the exclusive v0 commit, not the dir (see
+        # LakeTable.create: a crashed create must be re-runnable)
+        log.fs.makedirs(log.meta_dir, exist_ok=True)
+        meta0 = {"version": 0, "files": [], "epochs": {}, "schema": None, "retired": []}
+        try:
+            log._write_version(meta0)
+        except FileExistsError:
+            if log.fs.exists(os.path.join(log.meta_dir, "_current")):
+                raise FileExistsError(f"log already exists at {path}") from None
+            log.fs.remove(os.path.join(log.meta_dir, "v0.json"))
+            log._write_version(meta0)
         return log
 
     @classmethod

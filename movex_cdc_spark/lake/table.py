@@ -108,7 +108,11 @@ class LakeTable:
         columns included); ``last_seq``/``deleted`` bookkeeping columns
         are added automatically."""
         t = cls(spark, path, fs=fs)
-        t.fs.makedirs(t.meta_dir, exist_ok=False)
+        # exist_ok: the REAL creation lock is the exclusive v0 commit
+        # below, not the dir — makedirs(exist_ok=False) left a crash
+        # window (dir created, v0 never committed) after which every
+        # re-create failed on the empty _meta dir forever
+        t.fs.makedirs(t.meta_dir, exist_ok=True)
         t.fs.makedirs(t.data_dir, exist_ok=True)
         full = T.StructType(
             list(schema.fields)
@@ -125,7 +129,17 @@ class LakeTable:
             "lineage": [],
             "stats": {"rows_live": 0, "rows_total": 0},
         }
-        t._write_version(meta)
+        try:
+            t._write_version(meta)
+        except CommitConflict:
+            # v0 exists: a LIVE table (committed _current pointer) must
+            # be refused; a create that crashed between the v0 write
+            # and the pointer swap left a possibly-partial v0 no reader
+            # ever saw — drop it and redo the exclusive commit
+            if t.fs.exists(os.path.join(t.meta_dir, "_current")):
+                raise FileExistsError(f"table already exists at {path}") from None
+            t.fs.remove(os.path.join(t.meta_dir, "v0.json"))
+            t._write_version(meta)
         return t
 
     @classmethod

@@ -383,8 +383,14 @@ def envelope_timestamp(
       * ``'TYPE_2'`` — COMMA fraction delimiter, timezone WITH colon:
         ``2020-02-27T12:50:42,123456+00:00``
 
-    ``tz_offset`` is the db_default_timezone analog (a literal, since
-    the engine runs its sessions in one zone — UTC by default)."""
+    ``tz_offset`` is the db_default_timezone analog. It is not just a
+    label: the wall time is CONVERTED into that zone before the offset
+    is appended (``from_utc_timestamp``), so the rendered instant is
+    the event's actual instant — appending a raw "-05:00" to a UTC
+    wall time would shift every consumer-parsed timestamp by 5 hours.
+    Events' ``ts`` is UTC (the engine session zone, session.py)."""
+    if tz_offset != "+00:00":
+        ts = F.from_utc_timestamp(ts, tz_offset)
     base = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
     micros = F.date_format(ts, "SSSSSS")
     if legacy_ts_format is None:

@@ -68,10 +68,18 @@ class Heartbeat:
     exactly-once guarantee still comes from the lake table's atomic
     version commit, which rejects the loser of any true race."""
 
-    def __init__(self, home: str, instance: str | None = None, stale_s: int = 120):
+    def __init__(self, home: str, instance: str | None = None, stale_s: int = 120,
+                 fs=None):
+        from movex_cdc_spark.lake.fs import DEFAULT_FS
+
         self.path = os.path.join(home, "_heartbeat.json")
         self.instance = instance or f"{socket.gethostname()}-{os.getpid()}"
         self.stale_s = stale_s
+        # the guard only works if every instance reads the SAME file —
+        # a scheme-qualified home (hdfs://...) must go through the fs
+        # seam, or each node would "guard" its own local junk path
+        self.fs = fs or DEFAULT_FS
+        self.home = home
 
     def beat(self) -> None:
         foreign = self.foreign_active()
@@ -79,15 +87,14 @@ class Heartbeat:
             raise RuntimeError(
                 f"another instance {foreign!r} heartbeated within {self.stale_s}s — refusing to run"
             )
-        tmp = self.path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"instance": self.instance, "ts": time.time()}, f)
-        os.replace(tmp, self.path)
+        self.fs.makedirs(self.home, exist_ok=True)
+        self.fs.replace_text(
+            self.path, json.dumps({"instance": self.instance, "ts": time.time()})
+        )
 
     def foreign_active(self) -> str | None:
         try:
-            with open(self.path) as f:
-                hb = json.load(f)
+            hb = json.loads(self.fs.read_text(self.path))
         except (FileNotFoundError, json.JSONDecodeError):
             return None
         if hb.get("instance") != self.instance and time.time() - hb.get("ts", 0) < self.stale_s:

@@ -97,6 +97,7 @@ class CdcStreamPipeline:
         # exactly like the reference's Kafka producer
         self.envelope_sink = envelope_sink
         self.epochs: list[dict[str, Any]] = []  # this run's lineage records
+        self._envelope_dl = None  # lazy; one instance, not one per epoch
 
     def set_config(self, config) -> None:
         """Swap capture config between micro-batches (S12 import →
@@ -160,10 +161,14 @@ class CdcStreamPipeline:
             if sink_lin.get("rejected_df") is not None and self.dead_letter is not None:
                 # envelope-shaped rejects get their own quarantine dir —
                 # mixing them into the event-shaped dead letters would
-                # corrupt that table's read schema
-                DeadLetterTable(
-                    self.spark, self.dead_letter.path + "_envelope", fs=self.fs
-                ).append(
+                # corrupt that table's read schema. Constructed once and
+                # cached: per-epoch construction re-read the log
+                # metadata on every rejecting micro-batch
+                if self._envelope_dl is None:
+                    self._envelope_dl = DeadLetterTable(
+                        self.spark, self.dead_letter.path + "_envelope", fs=self.fs
+                    )
+                self._envelope_dl.append(
                     sink_lin.pop("rejected_df"),
                     stream_id=f"{self.stream_id}-sink",
                     epoch_id=epoch_id,

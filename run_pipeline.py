@@ -97,11 +97,11 @@ def main(argv: list[str] | None = None) -> int:
     )  # MoR inherits the base table's fs for its delta log
     config = EngineConfig.load(args.config) if args.config else None
 
-    # single-writer guard on the checkpoint home (reference heartbeat.rb)
-    hb = Heartbeat(args.checkpoint_dir.rstrip("/") + "_home")
-    import os
-
-    os.makedirs(args.checkpoint_dir.rstrip("/") + "_home", exist_ok=True)
+    # single-writer guard on the checkpoint home (reference
+    # heartbeat.rb) — through the SAME fs seam as the stores, so a
+    # scheme-qualified checkpoint home fences across nodes, not against
+    # a per-node local junk path
+    hb = Heartbeat(args.checkpoint_dir.rstrip("/") + "_home", fs=fs)
     hb.beat()
 
     pipe = CdcStreamPipeline(

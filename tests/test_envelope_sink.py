@@ -129,10 +129,11 @@ def test_legacy_timestamp_modes_format_and_validate(spark, tmp_path):
     with pytest.raises(ValueError, match="Unknown legacy timestamp"):
         EnvelopeSink(spark, str(tmp_path / "bad"), legacy_ts_format="TYPE_3")
 
-    # a negative configured offset is a legal envelope, not a reject
-    # (session stays UTC; tz_offset is the db_default_timezone LABEL
-    # the reference appends, transfer_thread.rb:528-535)
+    # a negative configured offset is a legal envelope, not a reject —
+    # and the wall time is CONVERTED into that zone so the rendered
+    # instant equals the event's instant (12:50:42Z == 07:50:42-05:00)
     sink = EnvelopeSink(spark, str(tmp_path / "sink_neg"), tz_offset="-05:00")
     lin = sink.emit(ts_batch, epoch_id=0)
     assert not lin.get("n_rejected")
-    assert sink.read().collect()[0]["timestamp"].endswith("-05:00")
+    got = sink.read().collect()[0]["timestamp"]
+    assert got == "2020-02-27T07:50:42.123456-05:00"

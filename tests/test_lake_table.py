@@ -363,3 +363,41 @@ def test_expire_skips_in_flight_staged_snapshot(spark, tmp_lake):
     removed = t.expire_snapshots(keep_last=1)
     assert removed > 0 and not os.path.isdir(inflight)
     assert t.read().collect()[0]["content"] == "v3"
+
+
+def test_create_is_crash_replayable(spark, tmp_path):
+    """A crash ANYWHERE inside create() must leave a re-runnable path:
+    (a) _meta dir made but v0 never committed, (b) v0 written but the
+    _current pointer never swapped. Both previously wedged every retry
+    (FileExistsError on the dir / the v0 commit) until manual cleanup.
+    A LIVE store is still refused."""
+    import json
+    import os
+
+    from movex_cdc_spark.lake.append_log import UnkeyedEventLog
+
+    # (a) dir exists, no v0
+    p1 = str(tmp_path / "t1")
+    os.makedirs(os.path.join(p1, "_meta"))
+    t = LakeTable.create(spark, p1, REPO_FILES_SCHEMA, KEY_COLS, n_buckets=2)
+    assert t.current_version() == 0
+
+    # (b) v0 written (even partially), pointer missing
+    p2 = str(tmp_path / "t2")
+    os.makedirs(os.path.join(p2, "_meta"))
+    with open(os.path.join(p2, "_meta", "v0.json"), "w") as f:
+        f.write('{"version": 0, "trunc')  # partial write from the crash
+    t2 = LakeTable.create(spark, p2, REPO_FILES_SCHEMA, KEY_COLS, n_buckets=2)
+    assert t2.meta()["n_buckets"] == 2  # fresh v0, not the partial one
+
+    # live table refused
+    with pytest.raises(FileExistsError, match="already exists"):
+        LakeTable.create(spark, p1, REPO_FILES_SCHEMA, KEY_COLS, n_buckets=2)
+
+    # same contract for the append log
+    p3 = str(tmp_path / "log1")
+    os.makedirs(os.path.join(p3, "_meta"))
+    log = UnkeyedEventLog.create(spark, p3)
+    assert log.meta()["version"] == 0
+    with pytest.raises(FileExistsError, match="already exists"):
+        UnkeyedEventLog.create(spark, p3)
