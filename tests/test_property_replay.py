@@ -232,3 +232,51 @@ def test_sessionizer_hook_matches_fold(stream, n_batches):
         len(sessions) - 1, len(last), ids[last[0]], ids[last[-1]]
     )
     assert last_ts == ts_us[last[-1]]
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=events_strategy,
+    n_epochs=st.integers(min_value=2, max_value=4),
+    crash_at=st.integers(min_value=0, max_value=3),
+)
+def test_crash_at_any_epoch_replays_to_same_state(
+    spark, _tables, events, n_epochs, crash_at
+):
+    """Exactly-once under a crash at an ARBITRARY epoch boundary: kill
+    the writer between the snapshot write and the metadata commit of
+    any epoch, then resume from that epoch — the final state must equal
+    the crash-free fold, and no epoch may double-apply. Generalizes the
+    deterministic kill-between-write-and-commit tests to every cut
+    point hypothesis can find (uuid snapshot staging is what makes the
+    replay collision-free)."""
+    rows = _to_rows(events)
+    table = _tables()
+    step = (len(rows) + n_epochs - 1) // n_epochs
+    crash_epoch = crash_at % n_epochs
+    real = LakeTable._write_version
+
+    def crashing(self, meta):
+        raise RuntimeError("simulated crash")
+
+    for e in range(n_epochs):
+        chunk = rows[e * step:(e + 1) * step]
+        if not chunk:
+            continue
+        batch = spark.createDataFrame(pd.DataFrame(chunk, columns=COLS))
+        if e == crash_epoch:
+            LakeTable._write_version = crashing
+            try:
+                with pytest.raises(RuntimeError, match="simulated crash"):
+                    apply_batch(table, batch, epoch_id=e, condition_sql="1=1")
+            finally:
+                LakeTable._write_version = real
+        # resume: the epoch re-runs (foreachBatch replay), rest follow
+        apply_batch(table, batch, epoch_id=e, condition_sql="1=1")
+
+    got = {
+        (r["repo"], r["path"]): (r["last_seq"], r["content"])
+        for r in table.read().select("repo", "path", "last_seq", "content").collect()
+    }
+    assert got == _fold_oracle(rows)
