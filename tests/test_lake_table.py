@@ -401,3 +401,57 @@ def test_create_is_crash_replayable(spark, tmp_path):
     assert log.meta()["version"] == 0
     with pytest.raises(FileExistsError, match="already exists"):
         UnkeyedEventLog.create(spark, p3)
+
+
+def test_incremental_changes_classification(spark, tmp_lake):
+    """changes(from, to): I/U/D classification, unchanged-key and
+    tombstone->tombstone suppression, and metadata-level bucket diff
+    (only churned buckets are read)."""
+    t = _table(spark, tmp_lake, n_buckets=8)
+    t.merge(_batch(spark, [
+        (1, "r", "a", "c", "py", "a1", "I"),
+        (2, "r", "b", "c", "py", "b1", "I"),
+        (3, "r", "c", "c", "py", "c1", "I"),
+        (4, "r", "d", "c", "py", None, "D"),   # tombstone from the start
+    ]), epoch_id=0)
+    v1 = t.current_version()
+    t.merge(_batch(spark, [
+        (5, "r", "b", "c", "py", "b2", "U"),   # U
+        (6, "r", "c", "c", "py", None, "D"),   # D
+        (7, "r", "e", "c", "py", "e1", "I"),   # I (new key)
+        (8, "r", "d", "c", "py", None, "D"),   # dead->dead: suppressed
+    ]), epoch_id=1)
+
+    got = {r["path"]: r for r in t.changes(v1).collect()}
+    assert set(got) == {"b", "c", "e"}  # 'a' unchanged, 'd' suppressed
+    assert got["b"]["change_op"] == "U" and got["b"]["content"] == "b2"
+    assert got["c"]["change_op"] == "D" and got["c"]["last_seq"] == 6
+    assert got["e"]["change_op"] == "I" and got["e"]["content"] == "e1"
+
+    # resurrect: D -> I across versions
+    v2 = t.current_version()
+    t.merge(_batch(spark, [(9, "r", "c", "c", "py", "c2", "I")]), epoch_id=2)
+    got2 = {r["path"]: r for r in t.changes(v2).collect()}
+    assert got2["c"]["change_op"] == "I" and got2["c"]["content"] == "c2"
+
+    # full-range read still classifies vs the ORIGINAL version
+    full = {r["path"]: r["change_op"] for r in t.changes(v1).collect()}
+    assert full == {"b": "U", "c": "U", "e": "I"}  # c live->live overall
+
+    # layout-change guard: a from-version with a different bucket count
+    # must be refused (monkeypatched meta to simulate an old layout)
+    real_meta = LakeTable.meta
+
+    def fake_meta(self, version=None):
+        m = dict(real_meta(self, version))
+        if version == v1:
+            m = dict(m)
+            m["n_buckets"] = 4
+        return m
+
+    LakeTable.meta = fake_meta
+    try:
+        with pytest.raises(ValueError, match="unsupported"):
+            t.changes(v1)
+    finally:
+        LakeTable.meta = real_meta
