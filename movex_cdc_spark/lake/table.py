@@ -212,9 +212,16 @@ class LakeTable:
             df = df.filter(~F.col(DELETED_COL))
         return df.drop(BUCKET_COL)
 
-    def read_raw(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
-        """Internal read keeping bucket + tombstone columns."""
-        m = self.meta(version)
+    def read_raw(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        meta: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Internal read keeping bucket + tombstone columns. ``meta``
+        skips the metadata re-read when the caller already parsed it
+        (each read_text is a round trip on a remote fs seam)."""
+        m = meta if meta is not None else self.meta(version)
         schema = T.StructType.fromJson(m["schema"])
         read_schema = T.StructType(
             [T.StructField(BUCKET_COL, T.IntegerType())] + list(schema.fields)
@@ -247,6 +254,11 @@ class LakeTable:
         change). COW carries every key forward, so the new side is
         complete and a left join suffices."""
         to_version = self.current_version() if to_version is None else to_version
+        if from_version > to_version:
+            raise ValueError(
+                f"changes(): from_version {from_version} > to_version {to_version} "
+                "— a reversed range would return an inverted changelog"
+            )
         m_from, m_to = self.meta(from_version), self.meta(to_version)
         if (
             m_from["key_cols"] != m_to["key_cols"]
@@ -255,14 +267,24 @@ class LakeTable:
             raise ValueError(
                 "changes() across key-column or bucket-count changes is unsupported"
             )
+        # overwrite() REBUILDS the bucket map (empty buckets dropped)
+        # and resets last_seq — a diff across it would hide deletions
+        # and misclassify seq regressions as updates. Refuse the range.
+        ow = m_to.get("last_overwrite_version")
+        if ow is not None and ow > from_version:
+            raise ValueError(
+                f"changes(): version range ({from_version}, {to_version}] spans an "
+                f"overwrite() at version {ow} — a bulk load is not a change set; "
+                "read the snapshot instead"
+            )
         changed = sorted(
             int(b)
             for b in m_to["buckets"]
             if m_to["buckets"][b] != m_from["buckets"].get(b)
         )
         key_cols = m_to["key_cols"]
-        old = self.read_raw(from_version, buckets=changed).alias("o")
-        new = self.read_raw(to_version, buckets=changed).alias("n")
+        old = self.read_raw(buckets=changed, meta=m_from).alias("o")
+        new = self.read_raw(buckets=changed, meta=m_to).alias("n")
         j = new.join(
             old,
             on=[F.col(f"n.{k}").eqNullSafe(F.col(f"o.{k}")) for k in key_cols],
@@ -276,7 +298,13 @@ class LakeTable:
             .when(o_live & ~n_live, "D")
             .when(o_live & n_live, "U")
         )  # tombstone→tombstone stays NULL and is filtered below
-        payload = self.payload_schema(to_version)
+        payload = T.StructType(
+            [
+                f
+                for f in T.StructType.fromJson(m_to["schema"]).fields
+                if f.name not in (SEQ_COL, DELETED_COL)
+            ]
+        )
         return (
             j.filter(o_seq.isNull() | (n_seq != o_seq))
             .select(
@@ -688,6 +716,9 @@ class LakeTable:
         m2["version"] = new_version
         m2["parent"] = m["version"]
         m2["buckets"] = buckets
+        # changes() refuses ranges spanning a bulk load (bucket map
+        # rebuilt, seqs reset — not a change set)
+        m2["last_overwrite_version"] = new_version
         self._write_version(m2)
 
     # --------------------------------------------------- housekeeping

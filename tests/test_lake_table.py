@@ -422,7 +422,36 @@ def test_incremental_changes_classification(spark, tmp_lake):
         (8, "r", "d", "c", "py", None, "D"),   # dead->dead: suppressed
     ]), epoch_id=1)
 
-    got = {r["path"]: r for r in t.changes(v1).collect()}
+    # the bucket diff is metadata-level: read_raw must be called with
+    # ONLY the churned buckets (a/d's buckets untouched by epoch 1 stay
+    # unread — the cost-proportional-to-churn property)
+    from movex_cdc_spark.lake.table import bucket_expr
+
+    seen_buckets = []
+    real_read_raw = LakeTable.read_raw
+
+    def spying_read_raw(self, version=None, buckets=None, meta=None):
+        seen_buckets.append(sorted(buckets or []))
+        return real_read_raw(self, version, buckets, meta)
+
+    LakeTable.read_raw = spying_read_raw
+    try:
+        got = {r["path"]: r for r in t.changes(v1).collect()}
+    finally:
+        LakeTable.read_raw = real_read_raw
+    churned = {
+        r[0]
+        for r in _batch(spark, [
+            # every key epoch 1 WROTE — including d, whose tombstone
+            # seq advanced (bucket rewritten) even though its change is
+            # suppressed from the OUTPUT
+            (5, "r", "b", "c", "py", "b2", "U"),
+            (6, "r", "c", "c", "py", None, "D"),
+            (7, "r", "e", "c", "py", "e1", "I"),
+            (8, "r", "d", "c", "py", None, "D"),
+        ]).select(bucket_expr(KEY_COLS, 8)).collect()
+    }
+    assert all(set(b) == churned for b in seen_buckets)
     assert set(got) == {"b", "c", "e"}  # 'a' unchanged, 'd' suppressed
     assert got["b"]["change_op"] == "U" and got["b"]["content"] == "b2"
     assert got["c"]["change_op"] == "D" and got["c"]["last_seq"] == 6
@@ -455,3 +484,12 @@ def test_incremental_changes_classification(spark, tmp_lake):
             t.changes(v1)
     finally:
         LakeTable.meta = real_meta
+
+    # reversed range refused
+    with pytest.raises(ValueError, match="reversed"):
+        t.changes(t.current_version(), v1)
+
+    # a range spanning an overwrite() is refused (bulk load != change set)
+    t.overwrite(_batch(spark, [(1, "r", "a", "c", "py", "boot", "I")]).drop("seq", "op"))
+    with pytest.raises(ValueError, match="overwrite"):
+        t.changes(v1)

@@ -254,7 +254,11 @@ def test_crash_at_any_epoch_replays_to_same_state(
     rows = _to_rows(events)
     table = _tables()
     step = (len(rows) + n_epochs - 1) // n_epochs
-    crash_epoch = crash_at % n_epochs
+    # clamp the crash to an epoch that actually HAS rows — an empty
+    # chunk is skipped before the patch block, which would silently
+    # degrade the example to the plain replay property
+    nonempty = [e for e in range(n_epochs) if rows[e * step:(e + 1) * step]]
+    crash_epoch = nonempty[crash_at % len(nonempty)]
     real = LakeTable._write_version
 
     def crashing(self, meta):
