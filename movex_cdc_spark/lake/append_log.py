@@ -94,8 +94,23 @@ class UnkeyedEventLog:
         except FileExistsError:
             if log.fs.exists(os.path.join(log.meta_dir, "_current")):
                 raise FileExistsError(f"log already exists at {path}") from None
-            log.fs.remove(os.path.join(log.meta_dir, "v0.json"))
-            log._write_version(meta0)
+            # crashed OR concurrent create: tolerate the other creator
+            # winning the remove/redo races (see LakeTable.create —
+            # first committed v0 wins, differing payloads undefined)
+            try:
+                log.fs.remove(os.path.join(log.meta_dir, "v0.json"))
+            except FileNotFoundError:
+                pass
+            try:
+                log._write_version(meta0)
+            except FileExistsError:
+                if log.fs.exists(os.path.join(log.meta_dir, "_current")):
+                    raise FileExistsError(
+                        f"log already exists at {path}"
+                    ) from None
+                raise FileExistsError(
+                    f"concurrent create in progress at {path}"
+                ) from None
         return log
 
     @classmethod

@@ -193,11 +193,34 @@ class HadoopFS:
         finally:
             out.close()
 
+    @staticmethod
+    def _is_already_exists(e: Exception) -> bool:
+        """Classify the wrapped Java exception by CLASS, not message
+        text: an unrelated failure whose message merely contains
+        'already exists' (e.g. a parent-path error) must NOT be
+        swallowed as a commit conflict, and a differently-worded
+        FileAlreadyExistsException must still map to FileExistsError.
+        Walks the Java cause chain because some FS impls wrap the raw
+        exception (bounded — cause chains can self-reference)."""
+        je = getattr(e, "java_exception", None)
+        for _ in range(8):
+            if je is None:
+                return False
+            name = je.getClass().getName()
+            if name in (
+                "org.apache.hadoop.fs.FileAlreadyExistsException",
+                "java.nio.file.FileAlreadyExistsException",
+                "java.io.FileAlreadyExistsException",
+            ):
+                return True
+            je = je.getCause()
+        return False
+
     def create_exclusive_text(self, path: str, text: str) -> None:
         try:
             self._write_stream(path, text, overwrite=False)
         except Exception as e:  # Py4JJavaError wrapping the Java exception
-            if "FileAlreadyExists" in str(e) or "already exists" in str(e):
+            if self._is_already_exists(e):
                 raise FileExistsError(path) from e
             raise
 

@@ -135,11 +135,32 @@ class LakeTable:
             # v0 exists: a LIVE table (committed _current pointer) must
             # be refused; a create that crashed between the v0 write
             # and the pointer swap left a possibly-partial v0 no reader
-            # ever saw — drop it and redo the exclusive commit
+            # ever saw — drop it and redo the exclusive commit.
+            # Concurrent create: two creators that both see no _current
+            # can each reach this arm; the remove may then lose a race
+            # with the other's remove (tolerated) and the redo may lose
+            # the v0 commit to the other's redo (surfaces as
+            # FileExistsError once its pointer lands). First committed
+            # v0 wins; concurrent create with DIFFERING schemas is
+            # undefined — the surviving v0 is whichever creator won.
             if t.fs.exists(os.path.join(t.meta_dir, "_current")):
                 raise FileExistsError(f"table already exists at {path}") from None
-            t.fs.remove(os.path.join(t.meta_dir, "v0.json"))
-            t._write_version(meta)
+            try:
+                t.fs.remove(os.path.join(t.meta_dir, "v0.json"))
+            except FileNotFoundError:
+                pass  # the concurrent creator already removed it
+            try:
+                t._write_version(meta)
+            except CommitConflict:
+                if t.fs.exists(os.path.join(t.meta_dir, "_current")):
+                    raise FileExistsError(
+                        f"table already exists at {path}"
+                    ) from None
+                # the other creator committed v0 but hasn't swapped the
+                # pointer yet — its swap is imminent; refuse as exists
+                raise FileExistsError(
+                    f"concurrent create in progress at {path}"
+                ) from None
         return t
 
     @classmethod
@@ -764,6 +785,14 @@ class LakeTable:
                     for f in files
                     if f.endswith(".parquet")
                 )
+            if m_ver and not pq:
+                # writer died BEFORE any part file landed: the staged
+                # dir holds only _temporary/_SUCCESS remnants, so it is
+                # in no listing and has no parquet to test for liveness
+                # — past the horizon it is dead; reap it or it leaks
+                # forever
+                self.fs.rmtree(top)
+                continue
             if pq and not any(p in live for p in pq):
                 # snapshot dir with NO live files — expired version or a
                 # crash-orphaned staged dir (uuid-named, never committed):

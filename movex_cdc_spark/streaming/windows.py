@@ -369,6 +369,23 @@ def sessionize_backfill(
         # by this backfill either way)
         sessionize_sql_closed(ev).write.parquet(out_dir, mode="overwrite")
         return {"path": "sql", "events": n, "keys": k}
+    # Stateful route appends through the streaming sink's _spark_metadata
+    # commit log — it never clears out_dir itself. If a PRIOR run took
+    # the SQL route (overwrite) and input growth flipped the route, those
+    # SQL files would sit alongside the streamed files as duplicate
+    # session rows. Mirror the SQL route's overwrite semantics: clear an
+    # out_dir that is not this sink's own resumable output. An out_dir
+    # WITH _spark_metadata belongs to a crashed/resuming stateful run —
+    # its files must survive so the checkpoint resume stays exactly-once.
+    import os
+
+    from movex_cdc_spark.lake.fs import DEFAULT_FS, HadoopFS
+
+    _ofs = HadoopFS(spark) if "://" in out_dir else DEFAULT_FS
+    if _ofs.exists(out_dir) and not _ofs.isdir(
+        os.path.join(out_dir, "_spark_metadata")
+    ):
+        _ofs.rmtree(out_dir)
     q = gap_sessionize_stateful(
         spark, events_dir, checkpoint_dir, out_dir, schema,
         max_files_per_trigger=max_files_per_trigger,

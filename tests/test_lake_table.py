@@ -1,6 +1,8 @@
 """LakeTable unit behavior: bucket pruning, schema evolution, time
 travel, commit conflicts, snapshot expiry."""
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -493,3 +495,146 @@ def test_incremental_changes_classification(spark, tmp_lake):
     t.overwrite(_batch(spark, [(1, "r", "a", "c", "py", "boot", "I")]).drop("seq", "op"))
     with pytest.raises(ValueError, match="overwrite"):
         t.changes(v1)
+
+
+def test_hadoop_fs_conflict_classified_by_exception_class(spark):
+    """ADVICE r5: the lost-commit race must be detected by the wrapped
+    Java exception CLASS (org.apache.hadoop.fs.FileAlreadyExistsException),
+    not message text — an unrelated error whose message merely contains
+    'already exists' must NOT be swallowed as a commit conflict, and a
+    differently-worded FileAlreadyExistsException must still map."""
+    from movex_cdc_spark.lake.fs import HadoopFS
+
+    class FakeJClass:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class FakeJE:
+        def __init__(self, name, cause=None):
+            self._c = FakeJClass(name)
+            self._cause = cause
+
+        def getClass(self):
+            return self._c
+
+        def getCause(self):
+            return self._cause
+
+    class FakeErr(Exception):
+        def __init__(self, je):
+            super().__init__("oops: parent already exists somewhere")
+            self.java_exception = je
+
+    # message says 'already exists' but the class is unrelated -> NOT
+    # a conflict (previously misclassified and silently retried)
+    assert not HadoopFS._is_already_exists(FakeErr(FakeJE("java.io.IOException")))
+    # the real conflict class maps regardless of message wording
+    assert HadoopFS._is_already_exists(
+        FakeErr(FakeJE("org.apache.hadoop.fs.FileAlreadyExistsException"))
+    )
+    # ... even when wrapped as a cause
+    assert HadoopFS._is_already_exists(
+        FakeErr(FakeJE(
+            "java.lang.RuntimeException",
+            cause=FakeJE("java.nio.file.FileAlreadyExistsException"),
+        ))
+    )
+    # self-referential cause chains terminate
+    loop = FakeJE("java.io.IOException")
+    loop._cause = loop
+    assert not HadoopFS._is_already_exists(FakeErr(loop))
+    # a plain Python exception (no java_exception) is never a conflict
+    assert not HadoopFS._is_already_exists(ValueError("already exists"))
+
+    # end-to-end through the real Hadoop local FS: the second exclusive
+    # create must surface as FileExistsError via the class check
+    import tempfile
+
+    h = HadoopFS(spark)
+    d = tempfile.mkdtemp()
+    p = "file://" + os.path.join(d, "lock.txt")
+    h.create_exclusive_text(p, "one")
+    with pytest.raises(FileExistsError):
+        h.create_exclusive_text(p, "two")
+
+
+def test_create_tolerates_concurrent_creator_race(spark, tmp_path):
+    """ADVICE r5: two creators that both see no _current each enter the
+    crash-recovery arm; the loser's removal of the other's staged v0
+    can find it already gone (tolerated -> retry proceeds), and a retry
+    that loses the v0 commit again surfaces FileExistsError instead of
+    an opaque conflict. Concurrent create with differing schemas is
+    documented undefined — first committed v0 wins."""
+    from movex_cdc_spark.lake.append_log import UnkeyedEventLog
+    from movex_cdc_spark.lake.fs import LocalFS
+
+    class OtherRemovedFirst(LocalFS):
+        """remove() finds the file already gone — the concurrent
+        creator removed it a moment earlier."""
+
+        def remove(self, path):
+            if path.endswith("v0.json"):
+                if os.path.exists(path):
+                    os.remove(path)
+                raise FileNotFoundError(path)
+            super().remove(path)
+
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "_meta"))
+    with open(os.path.join(p, "_meta", "v0.json"), "w") as f:
+        f.write("{}")  # stale v0 from the crashed/concurrent create
+    t = LakeTable.create(
+        spark, p, REPO_FILES_SCHEMA, KEY_COLS, n_buckets=2, fs=OtherRemovedFirst()
+    )
+    assert t.current_version() == 0 and t.meta()["n_buckets"] == 2
+
+    # same tolerance on the append log
+    p_log = str(tmp_path / "log")
+    os.makedirs(os.path.join(p_log, "_meta"))
+    with open(os.path.join(p_log, "_meta", "v0.json"), "w") as f:
+        f.write("{}")
+    log = UnkeyedEventLog.create(spark, p_log, fs=OtherRemovedFirst())
+    assert log.meta()["version"] == 0
+
+    class OtherRecommitted(LocalFS):
+        """remove() says gone, but the other creator re-committed v0
+        before our retry — the second exclusive create must lose."""
+
+        def remove(self, path):
+            raise FileNotFoundError(path)
+
+    p2 = str(tmp_path / "t2")
+    os.makedirs(os.path.join(p2, "_meta"))
+    with open(os.path.join(p2, "_meta", "v0.json"), "w") as f:
+        f.write('{"version": 0}')
+    with pytest.raises(FileExistsError, match="concurrent create"):
+        LakeTable.create(
+            spark, p2, REPO_FILES_SCHEMA, KEY_COLS, n_buckets=2, fs=OtherRecommitted()
+        )
+
+
+def test_expire_reaps_zero_parquet_orphan_dir(spark, tmp_lake):
+    """ADVICE r5: a staged snapshot dir whose writer died before ANY
+    part file landed (only _temporary/_SUCCESS remain) has no parquet
+    to test for liveness — past the version horizon it must be reaped,
+    not leaked forever. The in-flight guard still protects an empty
+    staged dir AT/beyond the head version."""
+    t = _table(spark, tmp_lake, n_buckets=4)
+    for e in range(4):
+        t.merge(_batch(spark, [(e, "r", f"p{e}", "c", "py", "v", "I")]), epoch_id=e)
+    assert t.current_version() == 4
+
+    dead = os.path.join(t.data_dir, "snap-1-deadbeef")
+    os.makedirs(os.path.join(dead, "_temporary", "0"))
+    open(os.path.join(dead, "_SUCCESS"), "w").close()
+    in_flight = os.path.join(t.data_dir, "snap-5-aaaaaaaa")
+    os.makedirs(in_flight)
+
+    t.expire_snapshots(keep_last=2)
+    assert not os.path.exists(dead)       # crash orphan reaped
+    assert os.path.exists(in_flight)      # staged-beyond-head survives
+    got = {r["path"] for r in t.read().collect()}
+    assert got == {"p0", "p1", "p2", "p3"}

@@ -391,3 +391,55 @@ def test_sessionize_backfill_identity_under_scrambled_ids(spark, tmp_path):
     )
     assert len(a) == len(b) == n_sessions - 1
     pd.testing.assert_frame_equal(a[b.columns], b, check_dtype=False)
+
+
+def test_sessionize_backfill_route_flip_clears_stale_sql_output(spark, tmp_path):
+    """ADVICE r5: the SQL route overwrites out_dir; the stateful route
+    appends through the streaming sink's _spark_metadata log. Re-running
+    a backfill after input growth flips the route sql->stateful must
+    clear the prior SQL files — otherwise NON-Spark readers (a plain
+    file listing / pandas / the DuckDB oracle) see duplicate session
+    rows. A resuming stateful out_dir (has _spark_metadata) must NOT be
+    cleared."""
+    import glob
+
+    from movex_cdc_spark.streaming.windows import sessionize_backfill
+
+    ev, d = _stage_time_ordered(tmp_path, sf="0.001")
+    out = str(tmp_path / "out")
+
+    r1 = sessionize_backfill(
+        spark, d, str(tmp_path / "ck1"), out, EVENTS_SCHEMA,
+        events_per_key_threshold=float("inf"),
+    )
+    assert r1["path"] == "sql"
+    n_sessions = spark.read.parquet(out).count()
+    assert n_sessions > 0
+
+    r2 = sessionize_backfill(
+        spark, d, str(tmp_path / "ck2"), out, EVENTS_SCHEMA,
+        events_per_key_threshold=0.0,
+    )
+    assert r2["path"] == "stateful"
+    # raw file-level read (what a non-Spark consumer sees): exactly the
+    # stateful result once, no SQL leftovers alongside
+    raw = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(os.path.join(out, "*.parquet"))],
+        ignore_index=True,
+    )
+    assert len(raw) == n_sessions
+    assert not raw.duplicated(["user_id", "session_id"]).any()
+
+    # a THIRD run (still stateful) resumes against its own sink output:
+    # out_dir has _spark_metadata now, must survive the pre-clear and
+    # the checkpoint makes the rerun a no-op, not a duplication
+    r3 = sessionize_backfill(
+        spark, d, str(tmp_path / "ck2"), out, EVENTS_SCHEMA,
+        events_per_key_threshold=0.0,
+    )
+    assert r3["path"] == "stateful"
+    raw3 = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(os.path.join(out, "*.parquet"))],
+        ignore_index=True,
+    )
+    assert len(raw3) == n_sessions
