@@ -63,6 +63,17 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--fs", choices=["local", "hadoop"], default="local",
                    help="metadata-IO seam impl: POSIX (shared mount) or "
                         "Hadoop FileSystem (hdfs://, abfs://, ...)")
+    p.add_argument("--envelope-sink", choices=["none", "lake", "kafka"], default="none",
+                   help="outbound consumer stream: 'lake' appends envelopes to an "
+                        "epoch-fenced append log (the test double); 'kafka' produces "
+                        "them through the public format('kafka') sink — at-least-once, "
+                        "pair with consumer-side watermark dedup (streaming/sink.py)")
+    p.add_argument("--envelope-dir", default=None,
+                   help="append-log dir for --envelope-sink lake")
+    p.add_argument("--kafka-bootstrap", default=None,
+                   help="bootstrap.servers for --envelope-sink kafka")
+    p.add_argument("--kafka-topic", default=None,
+                   help="topic for --envelope-sink kafka")
     return p.parse_args(argv)
 
 
@@ -104,6 +115,24 @@ def main(argv: list[str] | None = None) -> int:
     hb = Heartbeat(args.checkpoint_dir.rstrip("/") + "_home", fs=fs)
     hb.beat()
 
+    envelope_sink = None
+    if args.envelope_sink == "lake":
+        from movex_cdc_spark.streaming.sink import EnvelopeSink
+
+        if not args.envelope_dir:
+            raise SystemExit("--envelope-sink lake requires --envelope-dir")
+        envelope_sink = EnvelopeSink(spark, args.envelope_dir, fs=fs)
+    elif args.envelope_sink == "kafka":
+        from movex_cdc_spark.streaming.sink import KafkaEnvelopeWriter
+
+        if not (args.kafka_bootstrap and args.kafka_topic):
+            raise SystemExit(
+                "--envelope-sink kafka requires --kafka-bootstrap and --kafka-topic"
+            )
+        envelope_sink = KafkaEnvelopeWriter(
+            spark, args.kafka_bootstrap, args.kafka_topic
+        )
+
     pipe = CdcStreamPipeline(
         spark,
         sink,
@@ -116,6 +145,7 @@ def main(argv: list[str] | None = None) -> int:
         payload_format=args.payload_format,
         config=config,
         table_name=args.table_name,
+        envelope_sink=envelope_sink,
         fs=fs,
     )
     if args.trigger:

@@ -137,3 +137,105 @@ def test_legacy_timestamp_modes_format_and_validate(spark, tmp_path):
     assert not lin.get("n_rejected")
     got = sink.read().collect()[0]["timestamp"]
     assert got == "2020-02-27T07:50:42.123456-05:00"
+
+
+def test_kafka_writer_byte_identical_to_lake_sink(spark, tmp_path):
+    """VERDICT r5 item 1: the format('kafka') writer must put the SAME
+    envelope bytes on the wire that the lake sink (the KafkaMock-role
+    test double) appends — key = msg_key UTF-8 bytes, value = the
+    to_json envelope — and reject the same rows for the same reasons.
+    Plan-level, no broker."""
+    from movex_cdc_spark.streaming.sink import (
+        ENVELOPE_COLS,
+        EnvelopeSink,
+        KafkaEnvelopeWriter,
+    )
+
+    rows = [(i, "r", f"p{i}", "c", "py", f"content {i}", None, "I") for i in range(20)]
+    rows += [(99, "r", "big", "c", "py", "x" * 2000, None, "I")]  # size reject
+    batch = _batch(spark, rows)
+
+    lake = EnvelopeSink(spark, str(tmp_path / "sink"), max_bytes=500)
+    kafka = KafkaEnvelopeWriter(
+        spark, "broker1:9092,broker2:9092", "movex.repo_files", max_bytes=500
+    )
+    r = lake.emit(batch, epoch_id=0)
+    wire, rejected = kafka.kafka_frames(batch)
+
+    # value bytes == the lake sink's serialized envelope, row for row
+    lake_msgs = {
+        row["j"]
+        for row in lake.read()
+        .select(F.to_json(F.struct(*[F.col(c) for c in ENVELOPE_COLS])).alias("j"))
+        .collect()
+    }
+    wire_rows = wire.collect()
+    got_msgs = {bytes(row["value"]).decode("utf-8") for row in wire_rows}
+    assert got_msgs == lake_msgs and len(wire_rows) == 20
+    # key bytes = msg_key utf-8 (the broker's partitioning/ordering unit)
+    import json as _json
+
+    for row in wire_rows:
+        assert bytes(row["key"]).decode("utf-8") == _json.loads(
+            bytes(row["value"]).decode("utf-8")
+        )["msg_key"]
+    # same rejects, same reasons
+    rej = rejected.collect()
+    assert len(rej) == r["n_rejected"] == 1
+    assert rej[0]["error_msg"] == "message exceeds size cap"
+
+    # per-key ordering contract: within each wire partition a key's
+    # rows are contiguous-ascending by id (one producer task per key,
+    # sorted) — checked through the plan's actual partitioning
+    def _partition_order(it):
+        import json as j
+
+        out = []
+        for row in it:
+            v = j.loads(bytes(row.value).decode("utf-8"))
+            out.append((v["msg_key"], v["id"]))
+        yield str(out == sorted(out))
+
+    for flag in wire.rdd.mapPartitions(_partition_order).collect():
+        assert flag == "True"
+
+
+def test_kafka_writer_uses_public_kafka_sink(spark):
+    """The writer() must target the PUBLIC Spark Kafka sink: in this
+    sandbox the connector jar is absent, so .save() must fail with
+    Spark's own 'Failed to find data source: kafka' — proving the plan
+    is wired to format('kafka') and not some stub. Also: the producer
+    contract options (acks=all, idempotence — kafka_java.rb:179-220)
+    are on the writer."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from movex_cdc_spark.streaming.sink import KafkaEnvelopeWriter
+
+    k = KafkaEnvelopeWriter(spark, "b:9092", "t")
+    assert k.options["kafka.acks"] == "all"
+    assert k.options["kafka.enable.idempotence"] == "true"
+    wire, _ = k.kafka_frames(
+        _batch(spark, [(1, "r", "p", "c", "py", "v", None, "I")])
+    )
+    with pytest.raises(AnalysisException, match="Failed to find data source: kafka"):
+        k.writer(wire).save()
+
+
+def test_kafka_writer_cloudevents_headers(spark):
+    """CloudEvents mode: ce_* attributes ride as Kafka headers (binary
+    content mode of the CE Kafka binding), value stays the bare
+    envelope."""
+    from movex_cdc_spark.streaming.sink import KafkaEnvelopeWriter
+
+    k = KafkaEnvelopeWriter(spark, "b:9092", "t", cloudevents=True)
+    wire, _ = k.kafka_frames(
+        _batch(spark, [(1, "r", "p", "c", "py", "v", None, "I")])
+    )
+    row = wire.collect()[0]
+    hdr = {h["key"]: bytes(h["value"]).decode("utf-8") for h in row["headers"]}
+    assert hdr["ce_specversion"] == "1.0"
+    assert hdr["ce_type"] == "cdc.insert"
+    assert "ce_id" in hdr and "ce_source" in hdr
+    # no capture ts in this batch -> ce_time is OMITTED, not null-valued
+    assert "ce_time" not in hdr
