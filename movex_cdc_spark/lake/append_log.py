@@ -124,6 +124,14 @@ class UnkeyedEventLog:
         v = int(self.fs.read_text(os.path.join(self.meta_dir, "_current")).strip())
         return json.loads(self.fs.read_text(os.path.join(self.meta_dir, f"v{v}.json")))
 
+    def meta_at(self, version: int) -> dict[str, Any]:
+        """Historical metadata (version JSONs are never deleted —
+        expire_segments reaps DATA dirs only). Raises FileNotFoundError
+        for a version that never committed."""
+        return json.loads(
+            self.fs.read_text(os.path.join(self.meta_dir, f"v{version}.json"))
+        )
+
     def _write_version(self, meta: dict[str, Any]) -> None:
         v = meta["version"]
         # exclusive-create = commit lock; replace_text = atomic pointer

@@ -34,6 +34,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from movex_cdc_spark.lake.append_log import UnkeyedEventLog
 from movex_cdc_spark.lake.table import DELETED_COL, SEQ_COL, LakeTable
@@ -213,3 +214,150 @@ class MergeOnReadTable:
         )
         lin["mode"] = "compaction"
         return lin
+
+    # --------------------------------------------------------- changes
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental changelog between two DELTA-LOG metadata versions
+        — the MoR analog of ``LakeTable.changes`` (Iceberg incremental
+        read over merge-on-read deltas). The delta segments ARE the
+        changelog, so the diff is pure metadata: read ONLY the segments
+        appended in (from, to], LWW them per key, then classify each
+        candidate against the from-state (base ∪ delta@from) with a
+        bucket-pruned base lookup. Cost ∝ churn + touched buckets, never
+        O(table).
+
+        Refused (silent-wrong-answer edges, mirroring the COW rules):
+          * reversed ranges;
+          * ranges spanning ANY listing swap — a compaction folds the
+            delta into the base and truncates (per-key provenance across
+            it is gone, like COW overwrite-spanning ranges), and a
+            small-files compact_segments rewrites old rows into new
+            files (a file-set diff would re-emit them as changes).
+
+        Emits one row per key whose NET resolved state changed:
+        ``change_op`` I (dead/absent → live), U (live → live), D
+        (live → dead); dead→dead advances and stale segments (new winner
+        older than the from-state winner) are suppressed."""
+        to_m = self.delta.meta() if to_version is None else self.delta.meta_at(to_version)
+        to_version = to_m["version"]
+        if from_version > to_version:
+            raise ValueError(
+                f"reversed changes range: from v{from_version} > to v{to_version}"
+            )
+        from_m = self.delta.meta_at(from_version)
+        swaps = [
+            r for r in to_m.get("retired", [])
+            if from_version < r["at_version"] <= to_version
+        ]
+        if swaps:
+            raise ValueError(
+                f"changes range v{from_version}..v{to_version} spans a listing "
+                f"swap (compaction/rewrite at v{swaps[0]['at_version']}) — "
+                "per-key provenance across it is not reconstructible from the "
+                "delta; read the base table's changes() instead"
+            )
+        import os as _os
+
+        from movex_cdc_spark.lake.table import bucket_expr
+
+        key_cols = self.base.meta()["key_cols"]
+        pay = [f.name for f in self.base.payload_schema().fields]
+        new_files = [f for f in to_m["files"] if f not in set(from_m["files"])]
+        if not new_files:
+            return self.spark.createDataFrame(
+                [], self._changes_schema(key_cols, pay)
+            )
+        schema = T.StructType.fromJson(to_m["schema"])
+        churn = self.spark.read.schema(schema).parquet(
+            *[_os.path.join(self.delta.path, f) for f in new_files]
+        )
+        ccols = set(churn.columns)
+        churn = churn.select(
+            *[(F.col(c) if c in ccols else F.lit(None)).alias(c) for c in pay],
+            F.col("__d_seq"), F.col("__d_op"),
+        )
+        winner = (
+            churn.groupBy(*key_cols)
+            .agg(
+                F.max_by(
+                    F.struct(*[c for c in pay if c not in key_cols], "__d_op"),
+                    F.col("__d_seq"),
+                ).alias("__w"),
+                F.max("__d_seq").alias("__new_seq"),
+            )
+            .select(
+                *key_cols,
+                *[F.col(f"__w.{c}").alias(c) for c in pay if c not in key_cols],
+                F.col("__w.__d_op").alias("__new_op"),
+                "__new_seq",
+            )
+        )
+        # from-state for ONLY the touched buckets: base rows bucket-pruned
+        # by the churn's key set (bounded distinct-bucket probe), plus the
+        # delta segments listed at from_version
+        buckets = [
+            r[0]
+            for r in winner.select(
+                bucket_expr(key_cols, self.base.meta()["n_buckets"]).alias("b")
+            ).distinct().collect()
+        ]
+        old_base = self.base.read_raw(buckets=buckets).select(
+            *key_cols,
+            F.col(SEQ_COL).alias("__o_seq"),
+            F.when(F.col(DELETED_COL), "D").otherwise("B").alias("__o_op"),
+        )
+        if from_m["files"]:
+            od = self.spark.read.schema(
+                T.StructType.fromJson(from_m["schema"])
+            ).parquet(*[_os.path.join(self.delta.path, f) for f in from_m["files"]])
+            old_delta = od.select(
+                *key_cols,
+                F.col("__d_seq").alias("__o_seq"),
+                F.col("__d_op").alias("__o_op"),
+            )
+            old_all = old_base.unionByName(old_delta)
+        else:
+            old_all = old_base
+        old_state = (
+            old_all.groupBy(*key_cols)
+            .agg(
+                F.max_by("__o_op", F.col("__o_seq")).alias("__o_op"),
+                F.max("__o_seq").alias("__o_seq"),
+            )
+        )
+        j = winner.join(old_state, on=key_cols, how="left")
+        new_alive = F.col("__new_op") != "D"
+        old_alive = F.col("__o_op").isNotNull() & (F.col("__o_op") != "D")
+        classified = j.withColumn(
+            "change_op",
+            F.when(~old_alive & new_alive, "I")
+            .when(old_alive & new_alive, "U")
+            .when(old_alive & ~new_alive, "D"),
+        )
+        return (
+            classified
+            # stale segments (new winner no newer than the from-state
+            # winner) and dead->dead advances emit nothing
+            .filter(
+                F.col("change_op").isNotNull()
+                & (F.col("__o_seq").isNull() | (F.col("__new_seq") > F.col("__o_seq")))
+            )
+            .select(
+                *key_cols,
+                *[c for c in pay if c not in key_cols],
+                F.col("__new_seq").alias("last_seq"),
+                "change_op",
+            )
+        )
+
+    def _changes_schema(self, key_cols, pay):
+        base_schema = {f.name: f.dataType for f in self.base.payload_schema().fields}
+        fields = [T.StructField(c, base_schema[c]) for c in key_cols]
+        fields += [
+            T.StructField(c, base_schema[c]) for c in pay if c not in key_cols
+        ]
+        fields += [
+            T.StructField("last_seq", T.LongType()),
+            T.StructField("change_op", T.StringType()),
+        ]
+        return T.StructType(fields)

@@ -2539,3 +2539,184 @@ def distinct_count_per_group(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("users"), F.count(F.lit(1)).alias("events")
     )
+
+
+@register(
+    "cdc_multi_table_dispatch",
+    f"""
+    WITH tagged AS (
+      SELECT CAST(user_id AS VARCHAR) AS repo,
+             CASE WHEN user_id % 2 = 0 THEN 'table_a' ELSE 'table_b' END
+               AS target_table,
+             event_id, {OP_CASE_SQL} AS op, event_type,
+             event_type || ':' || CAST(value AS VARCHAR) AS content
+      FROM events),
+    filtered AS (
+      SELECT * FROM tagged
+      WHERE NOT (target_table = 'table_b' AND op = 'U'
+                 AND event_type = 'view')),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo ORDER BY event_id DESC)
+               AS rn
+      FROM filtered)
+    SELECT target_table, repo, event_id AS last_seq, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_multi_table_dispatch(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP multi-table multiplexing (VERDICT r5 item 2;
+    reference: ONE Event_Logs queue with per-event Table_ID dispatch,
+    transfer_thread.rb:390,566-587): the event stream is tagged to two
+    DIFFERENTLY-CONFIGURED tables (even user_ids -> table_a, standard
+    config; odd -> table_b, whose per-op trigger condition drops 'view'
+    updates), serialized into the tagged payload queue shape, and
+    dispatched through the real MultiplexedCdcPipeline foreachBatch
+    body over 2 interleaved epochs into two real LakeTables. The union
+    of both final states must match the per-partition SQL LWW with
+    table_b's condition applied — per-table configs, per-table fences,
+    one queue."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.config.table_config import ColumnCfg, EngineConfig, TableCfg
+    from movex_cdc_spark.lake.table import LakeTable
+    from movex_cdc_spark.streaming.pipeline import MultiplexedCdcPipeline
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("x").alias("lang"),
+        F.col("event_id").alias("seq"),
+        F.expr(OP_CASE_SQL).alias("op"),
+        F.concat_ws(":", "event_type", F.col("value").cast("string")).alias("content"),
+        F.lit(None).cast("string").alias("old_content"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("long").alias("txid"),
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("table_a"))
+        .otherwise(F.lit("table_b"))
+        .alias("__target"),
+    )
+    # the tagged Event_Logs queue shape (to_multiplex_events with a
+    # per-row tag instead of a constant one)
+    queue = ev.select(
+        "seq",
+        "op",
+        F.to_json(F.struct("repo", "path")).alias("msg_key"),
+        F.to_json(
+            F.struct("repo", "path", "commit", "lang", "content", "old_content")
+        ).alias("payload"),
+        "ts",
+        "txid",
+        F.col("__target").alias("table_name"),
+    )
+
+    def _cols():
+        return [ColumnCfg("repo"), ColumnCfg("path"), ColumnCfg("commit"),
+                ColumnCfg("lang"), ColumnCfg("content")]
+
+    cfg = EngineConfig(tables={
+        "table_a": TableCfg(name="table_a", key_cols=["repo", "path"],
+                            columns=_cols(), key_handling="P"),
+        "table_b": TableCfg(
+            name="table_b", key_cols=["repo", "path"], columns=_cols(),
+            conditions={"U": "NOT content LIKE 'view:%'"},
+            key_handling="P",
+        ),
+    })
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("content_sha", T.StringType()),
+    ])
+    tdir = tempfile.mkdtemp(prefix="mux_dispatch_")
+    t_a = LakeTable.create(spark, f"{tdir}/a", schema, ["repo", "path"], n_buckets=8)
+    t_b = LakeTable.create(spark, f"{tdir}/b", schema, ["repo", "path"], n_buckets=8)
+    pipe = MultiplexedCdcPipeline(
+        spark, cfg, sinks={"table_a": t_a, "table_b": t_b},
+        events_dir=tdir, checkpoint_dir=f"{tdir}/ck",  # dirs unused: batch drive
+    )
+    # two interleaved epochs through the REAL dispatch body (the
+    # streaming shell around it is pytest-covered)
+    for i in range(2):
+        pipe._apply(queue.filter(F.pmod(F.col("seq"), F.lit(2)) == i), epoch_id=i)
+    out_a = t_a.read().select(
+        F.lit("table_a").alias("target_table"), "repo", "last_seq", "content",
+        "content_sha",
+    )
+    out_b = t_b.read().select(
+        F.lit("table_b").alias("target_table"), "repo", "last_seq", "content",
+        "content_sha",
+    )
+    return out_a.unionByName(out_b)
+
+
+@register(
+    "cdc_changes_chaining",
+    f"""
+    WITH tagged AS (
+      SELECT CAST(user_id AS VARCHAR) AS repo, event_id, {OP_CASE_SQL} AS op,
+             event_type || ':' || CAST(value AS VARCHAR) AS content
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo ORDER BY event_id DESC) AS rn
+      FROM tagged)
+    SELECT repo, event_id AS last_seq, content, sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_changes_chaining(spark, sf_dir):
+    """ENGINE-IN-THE-LOOP changelog chaining (VERDICT r5 item 5; the
+    Iceberg CDC-consumer pattern): the event stream is applied to an
+    UPSTREAM LakeTable in 3 epochs; each epoch's ``changes(v-1, v)``
+    output — a metadata bucket diff, never a full-table read — is fed
+    to a DOWNSTREAM LakeTable as ITS change stream (change_op as op,
+    last_seq as seq). After the chain drains, the DOWNSTREAM final
+    state must equal the plain-SQL LWW of the original events — i.e.
+    upstream state reproduced hash-exactly through the incremental
+    changelog alone."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.lake.table import LakeTable
+    from movex_cdc_spark.operators.lww import lww_dedup_maxby
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.col("event_id").alias("seq"),
+        F.expr(OP_CASE_SQL).alias("op"),
+        F.concat_ws(":", "event_type", F.col("value").cast("string")).alias("content"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("content_sha", T.StringType()),
+        ]
+    )
+    tdir = tempfile.mkdtemp(prefix="changes_chain_")
+    up = LakeTable.create(spark, f"{tdir}/up", schema, ["repo", "path"], n_buckets=8)
+    down = LakeTable.create(spark, f"{tdir}/down", schema, ["repo", "path"], n_buckets=8)
+    for i in range(3):
+        chunk = ev.filter(F.pmod(F.col("seq"), F.lit(3)) == i)
+        batch = lww_dedup_maxby(chunk, ["repo", "path"]).withColumn(
+            "content_sha", F.sha2("content", 256)
+        )
+        v_before = up.current_version()
+        up.merge(batch, seq_col="seq", op_col="op", epoch_id=i)
+        # chain THIS epoch's changelog downstream (cost ∝ churn)
+        down.merge(
+            up.changes(v_before, up.current_version()),
+            seq_col="last_seq",
+            op_col="change_op",
+            epoch_id=i,
+        )
+    return down.read().select("repo", "last_seq", "content", "content_sha")

@@ -167,3 +167,25 @@ def stage_payload_events(spark: SparkSession, columnar_dir: str, out_dir: str,
             .write.mode("append")
             .parquet(out_dir)
         )
+
+
+# ---------------------------------------------------------------------
+# Multiplexed queue: ALL configured tables interleave through ONE event
+# log, each row tagged with its target table — the reference's single
+# Event_Logs queue with per-event Table_ID dispatch
+# (transfer_thread.rb:390,566-587). One streaming query then serves N
+# tables instead of N queries × per-trigger driver cost.
+# ---------------------------------------------------------------------
+
+MULTIPLEX_EVENTS_SCHEMA = T.StructType(
+    list(PAYLOAD_EVENTS_SCHEMA.fields)
+    + [T.StructField("table_name", T.StringType())]
+)
+
+
+def to_multiplex_events(df: DataFrame, table_name: str) -> DataFrame:
+    """Columnar events -> the tagged Event_Logs shape for one table;
+    union + sort by seq to interleave several tables into one queue."""
+    from pyspark.sql import functions as F
+
+    return to_payload_events(df).withColumn("table_name", F.lit(table_name))

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from movex_cdc_spark.lake.table import LakeTable
 from movex_cdc_spark.operators.apply import (
@@ -228,6 +229,175 @@ class CdcStreamPipeline:
             q.stop()
         if self.metrics is not None:
             self.metrics.flush()  # drain the buffered lineage window
+        if q.exception():
+            raise q.exception()
+        return self.epochs
+
+
+class MultiplexedCdcPipeline:
+    """ONE streaming query serving N configured tables — the
+    reference's single Event_Logs queue with per-event Table_ID
+    dispatch (transfer_thread.rb:390,566-587), vs. one
+    CdcStreamPipeline per table. At a many-table deployment N queries
+    pay N× the per-trigger driver cost (offset log, file listing,
+    micro-batch planning); one multiplexed query pays it once and
+    dispatches inside the batch.
+
+    Source shape: MULTIPLEX_EVENTS_SCHEMA — the payload Event_Logs row
+    plus a ``table_name`` tag. Dispatch is a partition-pruning filter
+    per configured table over ONE persisted batch (the parse runs only
+    on that table's slice), then the table's own config chain
+    (conditions / column flags / expressions / key handling) and its
+    own sink:
+
+      key_handling != 'N'  → apply_batch MERGE into its LakeTable
+      key_handling == 'N'  → apply_batch_unkeyed append into its log
+
+    Exactly-once composes per table: each sink fences (stream_id,
+    epoch_id) in ITS OWN metadata, so a crash mid-dispatch replays the
+    foreachBatch and already-applied tables skip while the rest apply —
+    same contract as the reference's per-table Kafka transactions.
+
+    Scope (north rule): all tables share the repo_files row shape and
+    (repo, path) key — the reference analog is N configured tables all
+    fed by the same trigger machinery; configs may differ arbitrarily.
+
+    Rows tagged with an UNCONFIGURED table go to the dead-letter
+    quarantine (the reference logs-and-skips events whose table config
+    vanished mid-flight) instead of poisoning the stream.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config,
+        sinks: dict[str, Any],
+        events_dir: str,
+        checkpoint_dir: str,
+        stream_id: str = "cdc-mux",
+        dead_letter_dir: str | None = None,
+        metrics_dir: str | None = None,
+        salted: bool = False,
+        max_files_per_trigger: int | None = None,
+        fs=None,
+    ):
+        missing = [n for n in config.tables if n not in sinks]
+        if missing:
+            raise ValueError(f"no sink for configured tables: {missing}")
+        self.spark = spark
+        self.config = config
+        self.sinks = sinks
+        self.events_dir = events_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.stream_id = stream_id
+        self.dead_letter = (
+            DeadLetterTable(spark, dead_letter_dir, fs=fs) if dead_letter_dir else None
+        )
+        self.metrics = MetricsTable(spark, metrics_dir) if metrics_dir else None
+        self.salted = salted
+        self.max_files_per_trigger = max_files_per_trigger
+        self.epochs: list[dict[str, Any]] = []
+        self._fs = fs
+        # strays keep their own quarantine dir: they are queue-shaped
+        # (payload + table_name), not event-shaped — mixing them into
+        # the poison dead letters would corrupt that table's read schema
+        self._dispatch_dl = None
+
+    def set_config(self, config) -> None:
+        """Live config swap between micro-batches (S12) — adding a
+        table requires its sink to already be registered."""
+        missing = [n for n in config.tables if n not in self.sinks]
+        if missing:
+            raise ValueError(f"no sink for configured tables: {missing}")
+        self.config = config
+
+    def _apply(self, batch_df, epoch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        from movex_cdc_spark.sources.events import parse_payload_events
+
+        batch = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # bounded probe: distinct tags ≤ configured tables + strays
+            # (the collect also builds the cache the dispatch slices)
+            present = {
+                r["table_name"] for r in batch.select("table_name").distinct().collect()
+            }
+            strays = sorted(present - set(self.config.tables))
+            n_strays = 0
+            if strays and self.dead_letter is not None:
+                if self._dispatch_dl is None:
+                    self._dispatch_dl = DeadLetterTable(
+                        self.spark, self.dead_letter.path + "_dispatch", fs=self._fs
+                    )
+                n_strays = self._dispatch_dl.append(
+                    batch.filter(F.col("table_name").isin(strays)).withColumn(
+                        "error_msg", F.lit("unconfigured table")
+                    ),
+                    stream_id=f"{self.stream_id}-dispatch",
+                    epoch_id=epoch_id,
+                )
+            per_table: dict[str, dict[str, Any]] = {}
+            for name, cfg in self.config.tables.items():  # deterministic order
+                if name not in present:
+                    continue
+                sub = parse_payload_events(
+                    batch.filter(F.col("table_name") == name)
+                )
+                if cfg.key_handling == "N":
+                    lin = apply_batch_unkeyed(
+                        self.sinks[name],
+                        sub,
+                        epoch_id=epoch_id,
+                        stream_id=self.stream_id,
+                        table_cfg=cfg,
+                        dead_letter=self.dead_letter,
+                    )
+                else:
+                    lin = apply_batch(
+                        self.sinks[name],
+                        sub,
+                        epoch_id=epoch_id,
+                        stream_id=self.stream_id,
+                        salted=self.salted,
+                        dead_letter=self.dead_letter,
+                        metrics=self.metrics,
+                        table_cfg=cfg,
+                    )
+                per_table[name] = lin
+            self.epochs.append(
+                {"epoch_id": epoch_id, "tables": per_table, "n_strays": n_strays}
+            )
+        finally:
+            batch.unpersist()
+
+    def start(self, available_now: bool = True, processing_time: str | None = None):
+        from movex_cdc_spark.sources.events import MULTIPLEX_EVENTS_SCHEMA
+
+        stream = read_events_stream(
+            self.spark,
+            self.events_dir,
+            self.max_files_per_trigger,
+            schema=MULTIPLEX_EVENTS_SCHEMA,
+        )
+        w = (
+            stream.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(f"cdc-{self.stream_id}")
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        elif processing_time:
+            w = w.trigger(processingTime=processing_time)
+        return w.start()
+
+    def run_available_now(self, timeout_s: int = 600) -> list[dict[str, Any]]:
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+        if self.metrics is not None:
+            self.metrics.flush()
         if q.exception():
             raise q.exception()
         return self.epochs

@@ -249,3 +249,74 @@ def test_compaction_retires_and_expires_delta_segments(spark, tmp_path):
     for d in seg_dirs:
         assert not os.path.isdir(tmp_path / "delta" / d)
     assert mor.read().count() == 4  # state unaffected by expiry
+
+
+def test_mor_changes_classification_and_refusals(spark, tmp_path):
+    """MoR incremental changelog (VERDICT r5 item 5): the delta
+    segments ARE the changelog — changes(from, to) reads only the
+    segments appended in range, classifies I/U/D against the
+    (base ∪ delta@from) state, suppresses dead->dead and stale rows,
+    and REFUSES reversed and swap-spanning ranges."""
+    import pytest
+
+    _, mor = _tables(spark, tmp_path)
+    cols = ["seq", "repo", "path", "commit", "lang", "content", "op"]
+
+    def _b(rows):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+
+    mor.merge(_b([
+        (1, "r", "a", "c", "py", "a1", "I"),
+        (2, "r", "b", "c", "py", "b1", "I"),
+        (3, "r", "d", "c", "py", None, "D"),
+    ]), epoch_id=0)
+    v1 = mor.delta.meta()["version"]
+    mor.merge(_b([
+        (4, "r", "b", "c", "py", "b2", "U"),   # U
+        (5, "r", "c", "c", "py", "c1", "I"),   # I
+        (6, "r", "a", "c", "py", None, "D"),   # D
+        (7, "r", "d", "c", "py", None, "D"),   # dead->dead: suppressed
+    ]), epoch_id=1)
+    got = {r["path"]: (r["change_op"], r["content"]) for r in mor.changes(v1).collect()}
+    assert got == {"b": ("U", "b2"), "c": ("I", "c1"), "a": ("D", None)}
+
+    with pytest.raises(ValueError, match="reversed"):
+        mor.changes(99, v1)
+    # compaction folds delta into base -> spanning range refused,
+    # post-compaction baseline still incremental
+    mor.compact()
+    with pytest.raises(ValueError, match="spans a listing swap"):
+        mor.changes(v1)
+    v_after = mor.delta.meta()["version"]
+    mor.merge(_b([(8, "r", "e", "c", "py", "e1", "I")]), epoch_id=2)
+    got2 = {r["path"]: r["change_op"] for r in mor.changes(v_after).collect()}
+    assert got2 == {"e": "I"}
+    # base state resurfaces in classification: update a key that now
+    # lives in the BASE (post-compaction) -> U, not I
+    v3 = mor.delta.meta()["version"]
+    mor.merge(_b([(9, "r", "b", "c", "py", "b3", "U")]), epoch_id=3)
+    got3 = {r["path"]: r["change_op"] for r in mor.changes(v3).collect()}
+    assert got3 == {"b": "U"}
+
+
+def test_mor_changes_chaining_reproduces_state(spark, tmp_path):
+    """Chaining the MoR changelog into a downstream COW table must
+    reproduce the upstream resolved state exactly — the MoR variant of
+    the cdc_changes_chaining oracle row."""
+    _, mor = _tables(spark, tmp_path)
+    down = LakeTable.create(spark, str(tmp_path / "down"), REPO_FILES_SCHEMA,
+                            KEY_COLS, n_buckets=4)
+    _, batches = _clean_batches(spark, n_events=1500, seed=91)
+    for i, b in enumerate(batches):
+        v_before = mor.delta.meta()["version"]
+        mor.merge(lww_dedup_maxby(b, KEY_COLS), epoch_id=i)
+        down.merge(
+            mor.changes(v_before, mor.delta.meta()["version"]),
+            seq_col="last_seq", op_col="change_op", epoch_id=i,
+        )
+    up_state = {
+        (r["repo"], r["path"]): (r["content"], r["last_seq"])
+        for r in mor.read().select("repo", "path", "content", "last_seq").collect()
+    }
+    assert up_state == _state(down)
+    assert len(up_state) > 0
