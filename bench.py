@@ -71,11 +71,15 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def make_spark(cpus: int):
-    from movex_cdc_spark.session import get_spark
+def make_spark(cpus: int, state_store: str | None = None):
+    from movex_cdc_spark.session import STATE_STORE_PROVIDERS, get_spark
 
-    s = get_spark(app_name=f"bench-{cpus}", cpus=cpus,
-                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if state_store:
+        extra["spark.sql.streaming.stateStore.providerClass"] = (
+            STATE_STORE_PROVIDERS[state_store]
+        )
+    s = get_spark(app_name=f"bench-{cpus}", cpus=cpus, extra_conf=extra)
     s.sparkContext.setLogLevel("ERROR")
     return s
 
@@ -274,24 +278,153 @@ def run_sessionize_stateful(spark, workdir: str, n_events: int) -> dict:
         ]
     )
     d = _stage_session_input(spark, workdir, n_events)
-    run_dir = os.path.join(workdir, "run-sess")
-    shutil.rmtree(run_dir, ignore_errors=True)
-    os.makedirs(run_dir)
-    t0 = time.monotonic()
-    q = gap_sessionize_stateful(
-        spark, d, os.path.join(run_dir, "ckpt"), os.path.join(run_dir, "out"), schema
-    )
-    if not q.awaitTermination(3600):
-        q.stop()
-        raise TimeoutError("sessionize bench did not finish within 1h")
-    wall = time.monotonic() - t0
-    n_sessions = spark.read.parquet(os.path.join(run_dir, "out")).count()
-    shutil.rmtree(run_dir, ignore_errors=True)
+
+    def _one(tag: str, in_dir: str) -> tuple[float, int]:
+        run_dir = os.path.join(workdir, f"run-sess-{tag}")
+        shutil.rmtree(run_dir, ignore_errors=True)
+        os.makedirs(run_dir)
+        t0 = time.monotonic()
+        q = gap_sessionize_stateful(
+            spark, in_dir, os.path.join(run_dir, "ckpt"),
+            os.path.join(run_dir, "out"), schema,
+        )
+        if not q.awaitTermination(3600):
+            q.stop()
+            raise TimeoutError("sessionize bench did not finish within 1h")
+        wall = time.monotonic() - t0
+        n_sessions = spark.read.parquet(os.path.join(run_dir, "out")).count()
+        shutil.rmtree(run_dir, ignore_errors=True)
+        return wall, n_sessions
+
+    # warmup + median (VERDICT r5 item 6): BENCH_r05's 33.07 s artifact
+    # reading was cold-position noise — Python-worker/Arrow spinup +
+    # page cache — refuted by 13.12 s warm reruns on the same HEAD. A
+    # 1/20-size warmup pays that cost outside the measurement; the
+    # median of N real runs absorbs the host's 1.3-1.6x noise band
+    # (same treatment cdc_apply got in r5). All runs recorded.
+    repeats = int(os.environ.get("SPARK_GRAFT_SESS_REPEATS", "3"))
+    warm_d = _stage_session_input(spark, workdir, max(n_events // 20, 10_000))
+    _one("warm", warm_d)
+    runs = [_one(f"r{i}", d) for i in range(repeats)]
+    walls = sorted(w for w, _ in runs)
+    wall = walls[len(walls) // 2]
     return {
         "wall_s": round(wall, 2),
         "events_per_sec": round(n_events / wall, 1),
-        "sessions_emitted": n_sessions,
+        "sessions_emitted": runs[0][1],
+        "stat": f"median_of_{repeats}_after_warmup",
+        "all_runs_s": [round(w, 2) for w, _ in runs],
     }
+
+
+def run_state_store_ab(workdir: str, n_events: int, n_users: int) -> dict:
+    """Heap vs RocksDB state store at a LARGE key count (VERDICT r5
+    item 3): the stateful gap-sessionizer over n_users concurrently-
+    active keys under (a) the default-until-r6 in-heap
+    HDFSBackedStateStoreProvider and (b) the RocksDB provider that is
+    now the engine default. At 5M keys both complete locally — the
+    point of the row is that the walls stay comparable while RocksDB
+    moves the state out of executor heap (native memory + local disk +
+    changelog checkpoints), which is what makes 10^8-10^9 active keys
+    deployable at all; heap is the ceiling the in-heap provider hits
+    first on a real cluster. Fresh session per provider: the provider
+    class is pinned per checkpoint at query start."""
+    from pyspark.sql import types as T
+
+    from movex_cdc_spark.streaming.windows import gap_sessionize_stateful
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    out: dict = {"n_events": n_events, "n_users": n_users}
+    for provider in ("hdfs", "rocksdb"):
+        spark = make_spark(CPUS, state_store=provider)
+        d = _stage_session_input(spark, workdir, n_events, n_users=n_users)
+        # warmup: worker/Arrow spinup outside the measurement
+        warm_d = _stage_session_input(spark, workdir, max(n_events // 20, 10_000))
+        for tag, in_dir in (("warm", warm_d), ("run", d)):
+            run_dir = os.path.join(workdir, f"run-ssab-{provider}-{tag}")
+            shutil.rmtree(run_dir, ignore_errors=True)
+            os.makedirs(run_dir)
+            t0 = time.monotonic()
+            q = gap_sessionize_stateful(
+                spark, in_dir, os.path.join(run_dir, "ckpt"),
+                os.path.join(run_dir, "out"), schema,
+            )
+            if not q.awaitTermination(3600):
+                q.stop()
+                raise TimeoutError(f"state-store bench ({provider}) timed out")
+            if tag == "run":
+                wall = time.monotonic() - t0
+                out[provider] = {
+                    "wall_s": round(wall, 2),
+                    "events_per_sec": round(n_events / wall, 1),
+                    "sessions": spark.read.parquet(
+                        os.path.join(run_dir, "out")
+                    ).count(),
+                }
+            shutil.rmtree(run_dir, ignore_errors=True)
+        spark.stop()
+    out["rocksdb_vs_heap"] = round(
+        out["rocksdb"]["events_per_sec"] / out["hdfs"]["events_per_sec"], 3
+    )
+    return out
+
+
+def run_jaccard_ab(spark, workdir: str, stack: int = 10) -> dict:
+    """Exact blocks-based n-gram Jaccard vs the minhash-pregated
+    LSH-then-verify variant (VERDICT r5 item 7) on the 10×-stacked
+    documents corpus (the r5 boundedness harness: per-copy salted text
+    keeps candidate structure realistic, not exact clones). The exact
+    operator pays block² pair generation inside df-capped shingle
+    blocks; the pregated one runs exact Jaccard only on band-confirmed
+    candidates (array_intersect per pair). Reports both walls + pair
+    counts; the pregated pair set is a declared-recall subset."""
+    from pyspark.sql import functions as F
+
+    from movex_cdc_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pregated,
+    )
+
+    d = os.path.join(workdir, f"docs-x{stack}")
+    if not os.path.isdir(d):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        copies = [
+            docs.selectExpr(
+                f"doc_id + {i * 1_000_000} AS doc_id",
+                "text" if i == 0 else
+                f"concat(text, ' cpsalt{i} w', cast(doc_id % 89 AS string)) AS text",
+            )
+            for i in range(stack)
+        ]
+        stacked = copies[0]
+        for c in copies[1:]:
+            stacked = stacked.unionByName(c)
+        stacked.repartition(16).write.parquet(d + ".tmp")
+        os.rename(d + ".tmp", d)
+    df = spark.read.parquet(d)
+    n_docs = df.count()
+    out: dict = {"n_docs": n_docs, "stack": stack}
+
+    t0 = time.monotonic()
+    exact = ngram_jaccard_pairs(df, n=3, threshold=0.2, max_shingle_df=5)
+    out["exact_pairs"] = exact.count()
+    out["exact_wall_s"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    gated = ngram_jaccard_pregated(df, n=3, threshold=0.2, k=8, rows_per_band=2)
+    out["pregated_pairs"] = gated.count()
+    out["pregated_wall_s"] = round(time.monotonic() - t0, 2)
+    out["speedup"] = round(out["exact_wall_s"] / out["pregated_wall_s"], 2)
+    return out
 
 
 def run_cow_vs_mor(spark, workdir: str, n_events: int = 200_000, n_epochs: int = 20) -> dict:
@@ -409,6 +542,19 @@ def main() -> None:
         print(json.dumps({"metric": "sessionize_backfill_route_ab",
                           **run_sessionize_backfill_ab(spark, workdir, n, epk)}))
         spark.stop()
+        return
+    if "--jaccard-ab" in sys.argv:
+        spark = make_spark(CPUS)
+        stack = int(os.environ.get("SPARK_GRAFT_JACCARD_STACK", "10"))
+        print(json.dumps({"metric": "jaccard_exact_vs_minhash_pregated",
+                          **run_jaccard_ab(spark, workdir, stack)}))
+        spark.stop()
+        return
+    if "--state-store-ab" in sys.argv:
+        n = int(os.environ.get("SPARK_GRAFT_SS_EVENTS", "10000000"))
+        u = int(os.environ.get("SPARK_GRAFT_SS_USERS", "5000000"))
+        print(json.dumps({"metric": "state_store_heap_vs_rocksdb",
+                          **run_state_store_ab(workdir, n, u)}))
         return
     if "--mor" in sys.argv:
         spark = make_spark(CPUS)

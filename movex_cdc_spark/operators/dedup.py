@@ -354,3 +354,64 @@ def simhash64_banded_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands_equal"))
     )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = ID_COL,
+) -> DataFrame:
+    """EXACT Jaccard verification over a candidate pair set — the
+    verify half of the LSH-then-verify shape production corpus dedup
+    runs at 100 TB. ``candidates`` (id_a, id_b) comes from a bounded
+    generator (minhash_lsh_pairs / simhash banding); each pair's exact
+    Jaccard is computed with one ``array_intersect`` over the two
+    docs' distinct shingle arrays — two hash joins plus per-pair
+    codegen set ops. Cost ∝ |candidates| × doc length; there is NO
+    all-pairs block explosion anywhere."""
+    sh = with_shingles(df, n).select(id_col, "shingles")
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__shared", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__shared")
+                / (F.size("__sa") + F.size("__sb") - F.col("__shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pregated(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = ID_COL,
+) -> DataFrame:
+    """MinHash-pregated exact Jaccard (VERDICT r5 item 7): candidates
+    from LSH banding (the signatures already exist — ONE sha256 per
+    shingle), exact Jaccard ONLY on band-confirmed pairs.
+
+    vs ``ngram_jaccard_pairs``: that operator is exact over every pair
+    sharing a (df-capped) shingle — its pair universe is the shingle
+    blocks and its cost the block² pair generation + shared-count
+    shuffle. This one trades declared probabilistic recall (a true
+    pair sharing no band never reaches the verifier; P[candidate] =
+    1-(1-j^r)^b) for a measured constant-factor win on the exact
+    stage (BENCH_SCALING r6, 50k docs). Both are deterministic
+    (sha256-derived permutations), so the full pipeline is oracle-
+    checkable end to end."""
+    nonempty = with_shingles(df, n).filter(F.size("shingles") > 0).select(df.columns)
+    cand = minhash_lsh_pairs(nonempty, k=k, rows_per_band=rows_per_band, n=n, id_col=id_col)
+    return jaccard_verify_pairs(nonempty, cand, n=n, threshold=threshold, id_col=id_col)

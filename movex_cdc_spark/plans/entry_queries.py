@@ -2720,3 +2720,46 @@ def cdc_changes_chaining(spark, sf_dir):
             epoch_id=i,
         )
     return down.read().select("repo", "last_seq", "content", "content_sha")
+
+
+@register(
+    "dedup_jaccard_lsh_verified",
+    f"""
+    WITH {_SHINGLES_CTE},
+    nonempty AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    sig AS (
+      SELECT doc_id,
+             [list_min([substr(sha256(s), i*8 + 1, 8) for s in shingles]) for i in range(0, 8)] AS sig
+      FROM nonempty),
+    bands AS (
+      SELECT doc_id, b AS band_idx, array_to_string(sig[b*2+1 : b*2+2], '') AS band_val
+      FROM sig, unnest(range(0, 4)) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS shared,
+             len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+      FROM cand JOIN nonempty sa ON sa.doc_id = id_a
+                JOIN nonempty sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, round(shared / (n_a + n_b - shared), 6) AS jaccard
+    FROM verified
+    WHERE round(shared / (n_a + n_b - shared), 6) >= 0.2
+    """,
+)
+def dedup_jaccard_lsh_verified(spark, sf_dir):
+    """LSH-then-verify near-dup pairs (VERDICT r5 item 7): MinHash
+    banding (4 bands × 2 rows, sha256-derived so both engines derive
+    the identical family) generates candidates; EXACT Jaccard — one
+    array_intersect over each pair's distinct shingle arrays — runs
+    ONLY on band-confirmed pairs. No all-pairs block explosion: cost ∝
+    candidates × doc length, the shape that survives 100 TB where the
+    exact blocks-based operator pays block² on hot shingles."""
+    from movex_cdc_spark.operators.dedup import ngram_jaccard_pregated
+
+    return ngram_jaccard_pregated(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.2, k=8, rows_per_band=2
+    )

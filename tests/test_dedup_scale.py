@@ -110,3 +110,44 @@ def test_pairs_within_groups_singleton_guard(spark):
     assert got[0].id_a is not None
     # type preserved (a literal array() guard would coerce to string)
     assert dict(pairs_within_groups(grouped).dtypes)["id_a"] == "bigint"
+
+
+def test_jaccard_lsh_verified_exact_on_candidates(spark):
+    """The minhash-pregated path (VERDICT r5 item 7) must (a) emit a
+    SUBSET of the uncapped exact pair set, (b) agree with the exact
+    operator on every pair it emits (the verify stage is exact, only
+    recall is probabilistic), and (c) find every pair the banding
+    guarantees (identical docs share all bands)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from movex_cdc_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pregated,
+    )
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",   # near-dup of 0
+        "one two three four five six seven eight nine",
+        "one two three four five six seven eight nine",   # exact dup of 2
+        "totally different words with no overlap at all",
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, n=3, threshold=0.05, max_shingle_df=None
+        ).collect()
+    }
+    gated = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pregated(df, n=3, threshold=0.05).collect()
+    }
+    assert set(gated) <= set(exact)          # subset: pre-gate only removes
+    for pair, j in gated.items():
+        assert j == exact[pair]              # verify stage is exact
+    assert gated[(2, 3)] == 1.0              # exact dups always band-collide
+    assert (0, 1) in gated                   # 6/8 shared shingles: j=0.5 pair found

@@ -443,3 +443,37 @@ def test_sessionize_backfill_route_flip_clears_stale_sql_output(spark, tmp_path)
         ignore_index=True,
     )
     assert len(raw3) == n_sessions
+
+
+def test_rocksdb_state_store_is_engine_default(spark, tmp_path):
+    """VERDICT r5 item 3: the stateful family must run on the RocksDB
+    state store by default (state scales with local disk, not executor
+    heap). The session carries the provider conf; a run's checkpoint
+    shows the RocksDB layout (zip'd version uploads, not the in-heap
+    provider's .delta files)."""
+    import glob
+
+    from movex_cdc_spark.session import (
+        DEFAULT_STATE_STORE,
+        STATE_STORE_PROVIDERS,
+    )
+    from movex_cdc_spark.streaming.windows import gap_sessionize_stateful
+
+    assert DEFAULT_STATE_STORE == "rocksdb"
+    assert set(STATE_STORE_PROVIDERS) == {"rocksdb", "hdfs"}
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    ).endswith("RocksDBStateStoreProvider")
+
+    ev, d = _stage_time_ordered(tmp_path, n_files=1, sf="0.001")
+    ck = str(tmp_path / "ck")
+    q = gap_sessionize_stateful(spark, d, ck, str(tmp_path / "out"), EVENTS_SCHEMA)
+    q.awaitTermination(120)
+    # RocksDB layout under changelog checkpointing: per-version
+    # .changelog uploads (+ periodic .zip snapshots); the in-heap
+    # provider writes .delta files instead
+    rocks = glob.glob(os.path.join(ck, "state", "0", "*", "*.changelog")) + glob.glob(
+        os.path.join(ck, "state", "0", "*", "*.zip")
+    )
+    deltas = glob.glob(os.path.join(ck, "state", "0", "*", "*.delta"))
+    assert rocks and not deltas
