@@ -203,6 +203,12 @@ class UnkeyedEventLog:
         m2["retired"] = list(m.get("retired", [])) + [
             {"dir": d, "at_version": m2["version"]} for d in old_dirs
         ]
+        # durable swap marker for incremental readers: retired records
+        # are PRUNED by expire_segments, so a changes() consumer lagging
+        # past the retention window would otherwise stop seeing the swap
+        # and compute a silently-wrong diff (the COW table's
+        # last_overwrite_version, same role)
+        m2["last_swap_version"] = m2["version"]
         if extra:
             m2.update(extra)
         self._write_version(m2)

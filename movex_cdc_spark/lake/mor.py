@@ -245,14 +245,16 @@ class MergeOnReadTable:
                 f"reversed changes range: from v{from_version} > to v{to_version}"
             )
         from_m = self.delta.meta_at(from_version)
-        swaps = [
-            r for r in to_m.get("retired", [])
-            if from_version < r["at_version"] <= to_version
-        ]
-        if swaps:
+        # durable marker, NOT the retired list: expire_segments prunes
+        # retired records (and reaps their files), so a consumer lagging
+        # past the retention window would see swaps=[] and silently
+        # compute a wrong diff against the post-swap base (or crash on
+        # reaped segment dirs)
+        last_swap = to_m.get("last_swap_version", 0)
+        if from_version < last_swap:
             raise ValueError(
                 f"changes range v{from_version}..v{to_version} spans a listing "
-                f"swap (compaction/rewrite at v{swaps[0]['at_version']}) — "
+                f"swap (compaction/rewrite at v{last_swap}) — "
                 "per-key provenance across it is not reconstructible from the "
                 "delta; read the base table's changes() instead"
             )
@@ -260,9 +262,11 @@ class MergeOnReadTable:
 
         from movex_cdc_spark.lake.table import bucket_expr
 
-        key_cols = self.base.meta()["key_cols"]
+        base_m = self.base.meta()
+        key_cols = base_m["key_cols"]
         pay = [f.name for f in self.base.payload_schema().fields]
-        new_files = [f for f in to_m["files"] if f not in set(from_m["files"])]
+        from_files = set(from_m["files"])
+        new_files = [f for f in to_m["files"] if f not in from_files]
         if not new_files:
             return self.spark.createDataFrame(
                 [], self._changes_schema(key_cols, pay)
@@ -298,7 +302,7 @@ class MergeOnReadTable:
         buckets = [
             r[0]
             for r in winner.select(
-                bucket_expr(key_cols, self.base.meta()["n_buckets"]).alias("b")
+                bucket_expr(key_cols, base_m["n_buckets"]).alias("b")
             ).distinct().collect()
         ]
         old_base = self.base.read_raw(buckets=buckets).select(

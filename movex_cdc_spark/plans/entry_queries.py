@@ -2599,19 +2599,11 @@ def cdc_multi_table_dispatch(spark, sf_dir):
         .otherwise(F.lit("table_b"))
         .alias("__target"),
     )
-    # the tagged Event_Logs queue shape (to_multiplex_events with a
-    # per-row tag instead of a constant one)
-    queue = ev.select(
-        "seq",
-        "op",
-        F.to_json(F.struct("repo", "path")).alias("msg_key"),
-        F.to_json(
-            F.struct("repo", "path", "commit", "lang", "content", "old_content")
-        ).alias("payload"),
-        "ts",
-        "txid",
-        F.col("__target").alias("table_name"),
-    )
+    from movex_cdc_spark.sources.events import to_multiplex_events
+
+    # the tagged Event_Logs queue shape, serialized by the same helper
+    # the pipeline reads with (per-row tag Column)
+    queue = to_multiplex_events(ev, F.col("__target"))
 
     def _cols():
         return [ColumnCfg("repo"), ColumnCfg("path"), ColumnCfg("commit"),

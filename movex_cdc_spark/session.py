@@ -36,6 +36,11 @@ STATE_STORE_PROVIDERS = {
     ),
 }
 DEFAULT_STATE_STORE = os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb")
+if DEFAULT_STATE_STORE not in STATE_STORE_PROVIDERS:
+    raise ValueError(
+        f"SPARK_GRAFT_STATE_STORE={DEFAULT_STATE_STORE!r}: "
+        f"valid values are {sorted(STATE_STORE_PROVIDERS)}"
+    )
 
 
 def get_spark(

@@ -114,8 +114,10 @@ PAYLOAD_STRUCT = T.StructType(
 )
 
 
-def to_payload_events(df: DataFrame) -> DataFrame:
-    """Columnar events -> Event_Logs shape (JSON payload + msg key)."""
+def to_payload_events(df: DataFrame, *extra) -> DataFrame:
+    """Columnar events -> Event_Logs shape (JSON payload + msg key).
+    ``extra`` columns are appended to the projection (the multiplex
+    tag rides through here so the wire shape has ONE serializer)."""
     from pyspark.sql import functions as F
 
     return df.select(
@@ -127,6 +129,7 @@ def to_payload_events(df: DataFrame) -> DataFrame:
         ),
         "ts",
         "txid",
+        *extra,
     )
 
 
@@ -183,9 +186,14 @@ MULTIPLEX_EVENTS_SCHEMA = T.StructType(
 )
 
 
-def to_multiplex_events(df: DataFrame, table_name: str) -> DataFrame:
-    """Columnar events -> the tagged Event_Logs shape for one table;
-    union + sort by seq to interleave several tables into one queue."""
+def to_multiplex_events(df: DataFrame, table_name) -> DataFrame:
+    """Columnar events -> the tagged Event_Logs shape. ``table_name``
+    is a constant tag (str: one table; union + sort by seq interleaves
+    several into one queue) or a Column computing a per-row tag —
+    either way the wire shape comes from ONE serializer, so the queue
+    projection can't drift from MULTIPLEX_EVENTS_SCHEMA."""
+    from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    return to_payload_events(df).withColumn("table_name", F.lit(table_name))
+    tag = table_name if isinstance(table_name, Column) else F.lit(table_name)
+    return to_payload_events(df, tag.alias("table_name"))

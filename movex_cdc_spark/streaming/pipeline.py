@@ -325,18 +325,26 @@ class MultiplexedCdcPipeline:
             }
             strays = sorted(present - set(self.config.tables))
             n_strays = 0
-            if strays and self.dead_letter is not None:
-                if self._dispatch_dl is None:
-                    self._dispatch_dl = DeadLetterTable(
-                        self.spark, self.dead_letter.path + "_dispatch", fs=self._fs
+            if strays:
+                if self.dead_letter is not None:
+                    if self._dispatch_dl is None:
+                        self._dispatch_dl = DeadLetterTable(
+                            self.spark, self.dead_letter.path + "_dispatch", fs=self._fs
+                        )
+                    n_strays = self._dispatch_dl.append(
+                        batch.filter(F.col("table_name").isin(strays)).withColumn(
+                            "error_msg", F.lit("unconfigured table")
+                        ),
+                        stream_id=f"{self.stream_id}-dispatch",
+                        epoch_id=epoch_id,
                     )
-                n_strays = self._dispatch_dl.append(
-                    batch.filter(F.col("table_name").isin(strays)).withColumn(
-                        "error_msg", F.lit("unconfigured table")
-                    ),
-                    stream_id=f"{self.stream_id}-dispatch",
-                    epoch_id=epoch_id,
-                )
+                else:
+                    # no quarantine dir: the rows are still DROPPED, and
+                    # the epoch lineage must say so — a silent
+                    # n_strays=0 would hide the data loss
+                    n_strays = batch.filter(
+                        F.col("table_name").isin(strays)
+                    ).count()
             per_table: dict[str, dict[str, Any]] = {}
             for name, cfg in self.config.tables.items():  # deterministic order
                 if name not in present:
@@ -344,12 +352,19 @@ class MultiplexedCdcPipeline:
                 sub = parse_payload_events(
                     batch.filter(F.col("table_name") == name)
                 )
+                # per-table stream id: the shared dead-letter log and
+                # metrics table fence on (stream_id, epoch_id), so N
+                # tables appending under ONE id would let the first
+                # table's append fence out every other table's poison
+                # in the same epoch (the append runs even when poison is
+                # empty, by design — see _apply_prepared)
+                tbl_stream_id = f"{self.stream_id}:{name}"
                 if cfg.key_handling == "N":
                     lin = apply_batch_unkeyed(
                         self.sinks[name],
                         sub,
                         epoch_id=epoch_id,
-                        stream_id=self.stream_id,
+                        stream_id=tbl_stream_id,
                         table_cfg=cfg,
                         dead_letter=self.dead_letter,
                     )
@@ -358,7 +373,7 @@ class MultiplexedCdcPipeline:
                         self.sinks[name],
                         sub,
                         epoch_id=epoch_id,
-                        stream_id=self.stream_id,
+                        stream_id=tbl_stream_id,
                         salted=self.salted,
                         dead_letter=self.dead_letter,
                         metrics=self.metrics,

@@ -373,19 +373,24 @@ def sessionize_backfill(
     # commit log — it never clears out_dir itself. If a PRIOR run took
     # the SQL route (overwrite) and input growth flipped the route, those
     # SQL files would sit alongside the streamed files as duplicate
-    # session rows. Mirror the SQL route's overwrite semantics: clear an
-    # out_dir that is not this sink's own resumable output. An out_dir
-    # WITH _spark_metadata belongs to a crashed/resuming stateful run —
-    # its files must survive so the checkpoint resume stays exactly-once.
+    # session rows. Mirror the SQL route's overwrite semantics: an
+    # out_dir WITH _spark_metadata belongs to a crashed/resuming stateful
+    # run — keep out_dir AND checkpoint so the resume stays exactly-once.
+    # Anything else is NOT this sink's resumable output, so clear BOTH:
+    # clearing out_dir alone while an older checkpoint survives would
+    # resume a fully-committed query over an empty out_dir and emit
+    # nothing (the sql→stateful→back flip), losing the whole backfill.
     import os
 
     from movex_cdc_spark.lake.fs import DEFAULT_FS, HadoopFS
 
     _ofs = HadoopFS(spark) if "://" in out_dir else DEFAULT_FS
-    if _ofs.exists(out_dir) and not _ofs.isdir(
-        os.path.join(out_dir, "_spark_metadata")
-    ):
-        _ofs.rmtree(out_dir)
+    if not _ofs.isdir(os.path.join(out_dir, "_spark_metadata")):
+        if _ofs.exists(out_dir):
+            _ofs.rmtree(out_dir)
+        _cfs = HadoopFS(spark) if "://" in checkpoint_dir else DEFAULT_FS
+        if _cfs.exists(checkpoint_dir):
+            _cfs.rmtree(checkpoint_dir)
     q = gap_sessionize_stateful(
         spark, events_dir, checkpoint_dir, out_dir, schema,
         max_files_per_trigger=max_files_per_trigger,

@@ -287,6 +287,14 @@ def test_mor_changes_classification_and_refusals(spark, tmp_path):
     mor.compact()
     with pytest.raises(ValueError, match="spans a listing swap"):
         mor.changes(v1)
+    # regression: retired records are PRUNED by expire_segments, so the
+    # refusal must come from the durable last_swap_version marker — a
+    # consumer lagging past the retention window otherwise got a
+    # silently-wrong diff against the post-swap base
+    mor.delta.expire_segments(keep_last=0)
+    assert not mor.delta.meta().get("retired")
+    with pytest.raises(ValueError, match="spans a listing swap"):
+        mor.changes(v1)
     v_after = mor.delta.meta()["version"]
     mor.merge(_b([(8, "r", "e", "c", "py", "e1", "I")]), epoch_id=2)
     got2 = {r["path"]: r["change_op"] for r in mor.changes(v_after).collect()}

@@ -198,3 +198,45 @@ def test_multiplexed_per_table_fences_compose(spark, tmp_path):
     cfg2.tables["fourth"] = cfg2.tables["repo_files"]
     with pytest.raises(ValueError, match="no sink"):
         pipe.set_config(cfg2)
+
+
+def test_multiplexed_poison_quarantined_for_every_table(spark, tmp_path):
+    """Regression: all tables share ONE dead-letter log, which fences on
+    (stream_id, epoch_id) — and the poison append runs even when a
+    table's poison slice is empty. Under a single shared stream id the
+    first table's append fenced the epoch, silently dropping every later
+    table's poison rows. Per-table stream ids must land BOTH tables'
+    poison in the SAME epoch."""
+    cfg = _mixed_config()
+    ev_a = generate_events(GenParams(n_events=400, seed=11,
+                                     p_poison=0.0, p_filtered=0.0))
+    ev_b = generate_events(GenParams(n_events=400, seed=12,
+                                     p_poison=0.0, p_filtered=0.0))
+    # craft poison (null content on I) in BOTH tables; lang='py' so the
+    # rows pass repo_files_b's I condition and reach the poison split
+    for ev in (ev_a, ev_b):
+        idx = ev.index[ev["op"] == "I"][:3]
+        assert len(idx) == 3
+        ev.loc[idx, "content"] = None
+        ev.loc[idx, "lang"] = "py"
+    d = _stage_interleaved(spark, tmp_path,
+                           {"repo_files": ev_a, "repo_files_b": ev_b},
+                           n_files=1)
+    t_a = LakeTable.create(spark, str(tmp_path / "lake_a"), REPO_FILES_SCHEMA,
+                           KEY_COLS, n_buckets=4)
+    t_b = LakeTable.create(spark, str(tmp_path / "lake_b"), REPO_FILES_SCHEMA,
+                           KEY_COLS, n_buckets=4)
+    pipe = MultiplexedCdcPipeline(
+        spark, cfg,
+        sinks={"repo_files": t_a, "repo_files_b": t_b,
+               "audit_log": UnkeyedEventLog.create(spark, str(tmp_path / "log_c"))},
+        events_dir=d,
+        checkpoint_dir=str(tmp_path / "ck"),
+        dead_letter_dir=str(tmp_path / "dl"),
+    )
+    pipe.run_available_now()
+    dl = UnkeyedEventLog.load(spark, str(tmp_path / "dl")).read()
+    per_stream = {r["stream_id"]: r["n"] for r in
+                  dl.groupBy("stream_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_stream.get("cdc-mux:repo_files", 0) >= 3
+    assert per_stream.get("cdc-mux:repo_files_b", 0) >= 3

@@ -477,3 +477,40 @@ def test_rocksdb_state_store_is_engine_default(spark, tmp_path):
     )
     deltas = glob.glob(os.path.join(ck, "state", "0", "*", "*.delta"))
     assert rocks and not deltas
+
+
+def test_sessionize_backfill_route_flip_back_with_stale_checkpoint(spark, tmp_path):
+    """Regression: r1 stateful commits checkpoint ck and writes out
+    (with _spark_metadata); r2 SQL route overwrites out (wiping
+    _spark_metadata); r3 stateful with the SAME ck used to clear only
+    out_dir — the fully-committed checkpoint then resumed over the
+    empty dir and emitted NOTHING, losing the whole backfill. The
+    pre-clear must wipe the stale checkpoint too, so r3 recomputes the
+    full result."""
+    import glob
+
+    from movex_cdc_spark.streaming.windows import sessionize_backfill
+
+    ev, d = _stage_time_ordered(tmp_path, sf="0.001")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    r1 = sessionize_backfill(spark, d, ck, out, EVENTS_SCHEMA,
+                             events_per_key_threshold=0.0)
+    assert r1["path"] == "stateful"
+    n = spark.read.parquet(out).count()
+    assert n > 0
+
+    r2 = sessionize_backfill(spark, d, ck, out, EVENTS_SCHEMA,
+                             events_per_key_threshold=float("inf"))
+    assert r2["path"] == "sql"
+
+    r3 = sessionize_backfill(spark, d, ck, out, EVENTS_SCHEMA,
+                             events_per_key_threshold=0.0)
+    assert r3["path"] == "stateful"
+    raw3 = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(os.path.join(out, "*.parquet"))],
+        ignore_index=True,
+    )
+    assert len(raw3) == n
+    assert not raw3.duplicated(["user_id", "session_id"]).any()
