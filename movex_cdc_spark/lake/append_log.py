@@ -156,31 +156,58 @@ class UnkeyedEventLog:
 
     # --------------------------------------------------------- append
     def append(
-        self, batch: DataFrame, stream_id: str = "default", epoch_id: int | None = None
+        self,
+        batch: DataFrame,
+        stream_id: str = "default",
+        epoch_id: int | None = None,
+        max_attempts: int = 20,
     ) -> dict[str, Any]:
         """Append a batch; fenced per (stream_id, epoch_id) like
-        LakeTable.merge. Returns the lineage record."""
+        LakeTable.merge. Returns the lineage record.
+
+        Optimistic concurrency: several writers (the multiplexed
+        pipeline's per-table dispatch threads sharing one dead-letter
+        log, or parallel streams) may race on the version counter. A
+        loser re-reads the listing, re-checks its fence, and re-commits
+        the SAME already-written segment — data is written once, only
+        the metadata commit retries (LakeTable.merge_with_retry's
+        contract). The uuid-named segment of a fenced-out loser is
+        never listed, i.e. invisible, same as a crash orphan."""
         m = self.meta()
         if epoch_id is not None:
             last = m["epochs"].get(stream_id)
             if last is not None and epoch_id <= last:
                 return {"skipped": True, "stream_id": stream_id, "epoch_id": epoch_id}
-        new_version = m["version"] + 1
-        files = self._write_segment(batch, new_version)
-        m2 = dict(m)
-        m2["version"] = new_version
-        m2["files"] = list(m["files"]) + files
-        m2["epochs"] = dict(m["epochs"])
-        if epoch_id is not None:
-            m2["epochs"][stream_id] = epoch_id
-        m2["schema"] = _union_schema(m.get("schema"), batch.schema)
-        self._write_version(m2)
-        return {
-            "version": new_version,
-            "stream_id": stream_id,
-            "epoch_id": epoch_id,
-            "files_added": len(files),
-        }
+        files = self._write_segment(batch, m["version"] + 1)
+        for _attempt in range(max_attempts):
+            new_version = m["version"] + 1
+            m2 = dict(m)
+            m2["version"] = new_version
+            m2["files"] = list(m["files"]) + files
+            m2["epochs"] = dict(m["epochs"])
+            if epoch_id is not None:
+                m2["epochs"][stream_id] = epoch_id
+            m2["schema"] = _union_schema(m.get("schema"), batch.schema)
+            try:
+                self._write_version(m2)
+            except FileExistsError:
+                m = self.meta()  # lost the version race: rebase and retry
+                if epoch_id is not None:
+                    last = m["epochs"].get(stream_id)
+                    if last is not None and epoch_id <= last:
+                        # a concurrent replay of OUR epoch won instead
+                        return {"skipped": True, "stream_id": stream_id,
+                                "epoch_id": epoch_id}
+                continue
+            return {
+                "version": new_version,
+                "stream_id": stream_id,
+                "epoch_id": epoch_id,
+                "files_added": len(files),
+            }
+        raise RuntimeError(
+            f"append to {self.path} lost the commit race {max_attempts} times"
+        )
 
     # -------------------------------------------------------- rewrite
     def _swap_listing(

@@ -80,10 +80,16 @@ class MetricsTable:
     fsspec filesystem — pyarrow accepts one directly."""
 
     def __init__(self, spark: SparkSession, path: str, flush_every: int = 16):
+        import threading
+
         self.spark = spark
         self.path = path
         self.flush_every = flush_every
         self._buffer: list[dict[str, Any]] = []
+        # the multiplexed pipeline appends from concurrent per-table
+        # dispatch threads; an unguarded flush would snapshot the buffer
+        # while another thread appends, then clear() rows it never wrote
+        self._lock = threading.Lock()
 
     def append(self, record: dict[str, Any]) -> None:
         row = {f.name: record.get(f.name) for f in METRICS_SCHEMA.fields}
@@ -95,23 +101,31 @@ class MetricsTable:
                 row[k] = int(row[k])
         if row["buckets_touched"] is not None:
             row["buckets_touched"] = int(row["buckets_touched"])
-        self._buffer.append(row)
-        if len(self._buffer) >= self.flush_every:
-            self.flush()
+        with self._lock:
+            self._buffer.append(row)
+            rows = list(self._buffer) if len(self._buffer) >= self.flush_every else None
+            if rows:
+                self._buffer.clear()
+        if rows:
+            self._write(rows)
 
     def flush(self) -> int:
         """Write buffered rows as one parquet file. Returns rows flushed."""
-        if not self._buffer:
+        with self._lock:
+            rows = list(self._buffer)
+            self._buffer.clear()
+        if not rows:
             return 0
-        n = len(self._buffer)
+        self._write(rows)
+        return len(rows)
+
+    def _write(self, rows: list[dict[str, Any]]) -> None:
         os.makedirs(self.path, exist_ok=True)
-        cols = {f.name: [r[f.name] for r in self._buffer] for f in METRICS_SCHEMA.fields}
+        cols = {f.name: [r[f.name] for r in rows] for f in METRICS_SCHEMA.fields}
         tbl = pa.table(cols, schema=_ARROW_SCHEMA)
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
         pq.write_table(tbl, tmp)
         os.replace(tmp, os.path.join(self.path, f"metrics-{uuid.uuid4().hex}.parquet"))
-        self._buffer.clear()
-        return n
 
     def read(self) -> DataFrame | None:
         self.flush()
