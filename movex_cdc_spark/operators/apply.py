@@ -143,7 +143,11 @@ def flag_dispositions(
     """
     df = condition_filter(events, condition_sql or default_exclude_condition())
     df = suppress_noop_updates(df)
-    bad = F.col("content").isNull() & F.col("op").isin("I", "U")
+    bad = (F.col("content").isNull() & F.col("op").isin("I", "U")) | (
+        # unknown/null op: byte-stream transports can deliver rows that
+        # parse all-null — quarantine, don't merge (see split_poison)
+        ~F.col("op").isin("I", "U", "D") | F.col("op").isNull()
+    )
     return df.withColumn(POISON_FLAG, bad).drop("old_content")
 
 

@@ -75,9 +75,22 @@ def suppress_noop_updates(
 def split_poison(
     df: DataFrame, content_col: str = "content", op_col: str = "op"
 ) -> tuple[DataFrame, DataFrame]:
-    """(valid, poison): I/U events must carry content; everything else
-    is a poison row headed for the dead-letter table (S11/ST6)."""
-    bad = F.col(content_col).isNull() & F.col(op_col).isin("I", "U")
-    return df.filter(~bad), df.filter(bad).withColumn(
-        "error_msg", F.lit("null content on insert/update")
+    """(valid, poison): I/U events must carry content, and every event
+    must carry a known operation; the rest are poison rows headed for
+    the dead-letter table (S11/ST6). The op check matters on byte-
+    stream transports (Kafka): a malformed wire record parses to an
+    all-null row, which must quarantine — not merge a null-key row
+    into the table. (The reference raises on an unknown operation,
+    transfer_thread.rb's else-branch; here it dead-letters.)"""
+    bad_content = F.col(content_col).isNull() & F.col(op_col).isin("I", "U")
+    bad_op = ~F.col(op_col).isin("I", "U", "D") | F.col(op_col).isNull()
+    poison = (
+        df.filter(bad_content | bad_op)
+        .withColumn(
+            "error_msg",
+            F.when(bad_op, F.lit("unknown operation")).otherwise(
+                F.lit("null content on insert/update")
+            ),
+        )
     )
+    return df.filter(~(bad_content | bad_op)), poison

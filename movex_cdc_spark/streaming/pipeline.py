@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movex_cdc_spark.lake.table import LakeTable
@@ -62,10 +62,18 @@ class CdcStreamPipeline:
         unkeyed_log: "object | None" = None,
         envelope_sink: "object | None" = None,
         fs=None,
+        source_df: DataFrame | None = None,
     ):
         self.spark = spark
         self.table = table
         self.events_dir = events_dir
+        # source_df: a pre-built STREAMING frame in the event schema
+        # replaces the file-source read — the seam a Kafka inbound
+        # queue plugs into (sources/kafka.read_events_kafka); the
+        # file source stays the default/test double. The checkpoint
+        # tracks whatever source backs the frame (Kafka offsets /
+        # file listings), so exactly-once composes unchanged.
+        self.source_df = source_df
         self.checkpoint_dir = checkpoint_dir
         self.stream_id = stream_id
         # fs seam for the quarantine/sink logs this pipeline constructs
@@ -201,12 +209,14 @@ class CdcStreamPipeline:
         self.epochs.append(lin)
 
     def start(self, available_now: bool = True, processing_time: str | None = None):
-        stream = read_events_stream(
-            self.spark,
-            self.events_dir,
-            self.max_files_per_trigger,
-            schema=PAYLOAD_EVENTS_SCHEMA if self.payload_format else None,
-        )
+        stream = self.source_df
+        if stream is None:
+            stream = read_events_stream(
+                self.spark,
+                self.events_dir,
+                self.max_files_per_trigger,
+                schema=PAYLOAD_EVENTS_SCHEMA if self.payload_format else None,
+            )
         w = (
             stream.writeStream.foreachBatch(self._apply)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -281,6 +291,7 @@ class MultiplexedCdcPipeline:
         max_files_per_trigger: int | None = None,
         dispatch_parallelism: int | None = None,
         fs=None,
+        source_df: DataFrame | None = None,
     ):
         missing = [n for n in config.tables if n not in sinks]
         if missing:
@@ -297,6 +308,10 @@ class MultiplexedCdcPipeline:
         self.metrics = MetricsTable(spark, metrics_dir) if metrics_dir else None
         self.salted = salted
         self.max_files_per_trigger = max_files_per_trigger
+        # same seam as CdcStreamPipeline.source_df: a pre-built
+        # streaming frame in MULTIPLEX_EVENTS_SCHEMA (e.g. a tagged
+        # Kafka inbound topic via sources/kafka) replaces the file read
+        self.source_df = source_df
         # concurrent per-table dispatch: each table's apply is a chain
         # of INDEPENDENT Spark jobs plus driver-side metadata IO
         # (listing, commit, fence JSON) against ITS OWN sink; running
@@ -413,12 +428,14 @@ class MultiplexedCdcPipeline:
     def start(self, available_now: bool = True, processing_time: str | None = None):
         from movex_cdc_spark.sources.events import MULTIPLEX_EVENTS_SCHEMA
 
-        stream = read_events_stream(
-            self.spark,
-            self.events_dir,
-            self.max_files_per_trigger,
-            schema=MULTIPLEX_EVENTS_SCHEMA,
-        )
+        stream = self.source_df
+        if stream is None:
+            stream = read_events_stream(
+                self.spark,
+                self.events_dir,
+                self.max_files_per_trigger,
+                schema=MULTIPLEX_EVENTS_SCHEMA,
+            )
         w = (
             stream.writeStream.foreachBatch(self._apply)
             .option("checkpointLocation", self.checkpoint_dir)
