@@ -25,10 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries without a green DRIVER row yet run FIRST, so a driver-side
 # cap on the number of executed queries (observed: first 50) can never
-# rotate them out. The registry holds 62 entries: 50 inside the cap
-# plus the TWELVE deliberate overflow rows in _DEPRIORITIZED below —
+# rotate them out. The registry holds 64 entries: 50 inside the cap
+# plus the FOURTEEN deliberate overflow rows in _DEPRIORITIZED below —
 # adding a query means choosing another overflow row, not appending.
 _PRIORITY = [
+    "curation_decontaminate",      # NEW r6: benchmark n-gram decontamination
+    "text_repetition_rules",       # NEW r6: Gopher-family repetition quality rules
     "cdc_multi_table_dispatch",    # NEW r6: multiplexed multi-table dispatch (VERDICT r5 item 2)
     "cdc_changes_chaining",        # NEW r6: changelog chained into a downstream table (item 5)
     "dedup_jaccard_lsh_verified",  # NEW r6: minhash-pregated exact jaccard (item 7)
@@ -75,6 +77,13 @@ _DEPRIORITIZED = [
     "cdc_stats_counters",
     "cdc_sessionization",
     "multimodal_features",  # sibling multimodal_quarantine stays in-window
+    # green r4+r5, neither round's overflow set; overflowed to make
+    # window room for the r6 additions (siblings in-window: dedup ->
+    # minhash_lsh/ngram_jaccard/jaccard_lsh_verified/exact_sha; the
+    # clean-corpus capstone's pieces -> text_analysis_battery + the
+    # dedup family + curation_decontaminate)
+    "dedup_embedding_cosine",
+    "pipeline_clean_corpus",
 ]
 
 

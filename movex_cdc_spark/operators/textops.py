@@ -143,3 +143,61 @@ def tfidf_top_terms(df: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select(ID_COL, "term", "tf", "df", "tfidf", "rk")
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    keep_top_tok: float = 0.12,
+    keep_dup_2gram: float = 0.10,
+) -> DataFrame:
+    """Repetition quality signals (the Gopher-rules family, public
+    methodology): per doc the top-token mass fraction and the
+    duplicate 2-/3-gram occurrence fractions, plus a keep flag at the
+    configured thresholds. Repeated boilerplate and degenerate
+    keyword-stuffed pages score high on all three; the battery's
+    ratio/length features miss them.
+
+    Shape: the n-gram dup fractions are per-row array expressions
+    (codegen, zero shuffle — 1 - distinct/total over the doc's own
+    grams); the top-token fraction needs per-(doc, token) counts, a
+    two-level aggregation whose first shuffle is (doc_id, tok) — both
+    levels map-side combine, and cardinality is bounded by corpus
+    token count, not vocabulary². The doc_id equi-join of the two
+    sides reuses the agg's hash partitioning."""
+    toks = df.select(ID_COL, F.explode(F.split(F.col(TEXT_COL), " ")).alias("tok"))
+    tok_stats = (
+        toks.groupBy(ID_COL, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(ID_COL)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tokens"))
+    )
+
+    def _dup_frac(n_expr, d_expr):
+        return F.round(
+            F.when(n_expr <= 0, F.lit(0.0)).otherwise(F.lit(1.0) - d_expr / n_expr), 6
+        )
+
+    def _distinct_g(n: int) -> F.Column:
+        # sequence(1, 0) DESCENDS in Spark; short docs short-circuit
+        return F.expr(
+            f"case when size(w) < {n} then 0"
+            f" else size(array_distinct(transform(sequence(1, size(w) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(w, i, {n}))))) end"
+        )
+
+    grams = df.withColumn("w", F.split(F.col(TEXT_COL), " ")).select(
+        ID_COL,
+        _dup_frac(F.size("w") - 1, _distinct_g(2)).alias("dup_2gram_frac"),
+        _dup_frac(F.size("w") - 2, _distinct_g(3)).alias("dup_3gram_frac"),
+    )
+    return tok_stats.join(grams, ID_COL).select(
+        ID_COL,
+        "n_tokens",
+        F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_tok_frac"),
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        (
+            (F.round(F.col("top_c") / F.col("n_tokens"), 6) <= keep_top_tok)
+            & (F.col("dup_2gram_frac") <= keep_dup_2gram)
+        ).cast("int").alias("keep"),
+    )

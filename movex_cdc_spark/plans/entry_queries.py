@@ -2755,3 +2755,84 @@ def dedup_jaccard_lsh_verified(spark, sf_dir):
     return ngram_jaccard_pregated(
         load(spark, sf_dir, "documents"), n=3, threshold=0.2, k=8, rows_per_band=2
     )
+
+
+@register(
+    "curation_decontaminate",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 5 THEN []::VARCHAR[]
+                  ELSE list_distinct([array_to_string(w[i:i+4], ' ')
+                                      for i in range(1, greatest(len(w)-4, 0)+1)]) END AS g
+      FROM toks),
+    bench AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len(bw) < 5 THEN []::VARCHAR[]
+             ELSE list_distinct([array_to_string(bw[i:i+4], ' ')
+                                 for i in range(1, greatest(len(bw)-4, 0)+1)]) END) AS gram
+      FROM (SELECT w[1:12] AS bw FROM toks WHERE doc_id % 37 = 0)),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    hits AS (SELECT doc_id, count(*) AS n_hit FROM ex JOIN bench USING (gram) GROUP BY 1)
+    SELECT g.doc_id, len(g.g) AS n_grams, coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit, 0) / len(g.g), 6) AS hit_frac,
+           CAST(coalesce(h.n_hit, 0) >= 1 AS INT) AS contaminated
+    FROM grams g LEFT JOIN hits h USING (doc_id)
+    WHERE len(g.g) > 0
+    """,
+)
+def curation_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the published any-n-gram-collision
+    rule): the 'benchmark' is derived deterministically from the corpus
+    itself — the 12-token prefix of every 37th document stands in for a
+    leaked eval item, so contamination provably exists and the flag is
+    checkable end-to-end. Benchmark n-grams broadcast; the corpus scan
+    never shuffles for the probe (operators/decontam.py docstring)."""
+    from movex_cdc_spark.operators.decontam import benchmark_ngram_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("text")
+    )
+    return benchmark_ngram_overlap(docs, bench, n=5, min_hits=1)
+
+
+@register(
+    "text_repetition_rules",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok_counts AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY 1, 2),
+    tok_stats AS (
+      SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM tok_counts GROUP BY 1),
+    gram_stats AS (
+      SELECT doc_id,
+             len(w) - 1 AS n_2g,
+             len(list_distinct([array_to_string(w[i:i+1], ' ')
+                                for i in range(1, greatest(len(w)-1, 0)+1)])) AS d_2g,
+             len(w) - 2 AS n_3g,
+             len(list_distinct([array_to_string(w[i:i+2], ' ')
+                                for i in range(1, greatest(len(w)-2, 0)+1)])) AS d_3g
+      FROM toks)
+    SELECT t.doc_id, t.n_tokens,
+           round(t.top_c / t.n_tokens, 6) AS top_tok_frac,
+           round(CASE WHEN g.n_2g <= 0 THEN 0 ELSE 1.0 - g.d_2g / g.n_2g END, 6) AS dup_2gram_frac,
+           round(CASE WHEN g.n_3g <= 0 THEN 0 ELSE 1.0 - g.d_3g / g.n_3g END, 6) AS dup_3gram_frac,
+           CAST(round(t.top_c / t.n_tokens, 6) <= 0.12
+                AND round(CASE WHEN g.n_2g <= 0 THEN 0 ELSE 1.0 - g.d_2g / g.n_2g END, 6) <= 0.10
+                AS INT) AS keep
+    FROM tok_stats t JOIN gram_stats g USING (doc_id)
+    """,
+)
+def text_repetition_rules(spark, sf_dir):
+    """Repetition quality rules (Gopher-family): top-token mass
+    fraction + duplicate 2-/3-gram fractions + keep flag. The n-gram
+    fractions are zero-shuffle codegen array expressions; the
+    top-token fraction is a two-level map-side-combining aggregation
+    (operators/textops.repetition_stats docstring)."""
+    from movex_cdc_spark.operators.textops import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))

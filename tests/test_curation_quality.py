@@ -1,0 +1,85 @@
+"""Decontamination (benchmark n-gram overlap) and repetition quality
+rules: planted-case semantics beyond the registry oracles."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from movex_cdc_spark.operators.decontam import benchmark_ngram_overlap, with_ngrams
+from movex_cdc_spark.operators.textops import repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    bench_item = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [
+            (1, "clean words entirely disjoint from any benchmark content here"),
+            # full leak: benchmark item verbatim inside a longer doc
+            (2, "prefix words then " + bench_item + " trailing words"),
+            # partial leak: one colliding 5-gram only
+            (3, "alpha beta gamma delta epsilon completely different tail words"),
+            (4, "short doc"),  # < n tokens: no grams, excluded from output
+        ],
+    )
+    bench = _docs(spark, [(100, bench_item)]).select("text")
+    out = benchmark_ngram_overlap(docs, bench, n=5, min_hits=1)
+    r = {row["doc_id"]: row.asDict() for row in out.collect()}
+    assert set(r) == {1, 2, 3}  # doc 4 has no 5-grams
+    assert r[1]["contaminated"] == 0 and r[1]["n_hit"] == 0
+    assert r[2]["contaminated"] == 1
+    assert r[2]["n_hit"] == 4  # all four 5-grams of the 8-token item
+    assert r[3]["contaminated"] == 1 and r[3]["n_hit"] == 1
+    # severity grades: full leak overlaps more than single-gram leak
+    assert r[2]["hit_frac"] > r[3]["hit_frac"] > 0
+
+
+def test_decontaminate_overlap_is_on_distinct_grams(spark):
+    # a doc repeating a leaked gram counts it ONCE (distinct n-grams)
+    leak = "one two three four five"
+    docs = _docs(spark, [(1, leak + " x " + leak)])
+    bench = _docs(spark, [(9, leak)]).select("text")
+    out = benchmark_ngram_overlap(docs, bench, n=5, min_hits=1).collect()[0]
+    assert out["n_hit"] == 1
+    assert out["contaminated"] == 1
+
+
+def test_with_ngrams_short_doc_guard(spark):
+    out = with_ngrams(_docs(spark, [(1, "a b c")]), n=5).collect()[0]
+    assert out["grams"] == [] and out["n_grams"] == 0
+
+
+def test_repetition_stats_planted(spark):
+    docs = _docs(
+        spark,
+        [
+            # degenerate: one token repeated -> top_tok_frac 1, all grams dup
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            # all-distinct tokens: zero repetition, keeps
+            (2, "a1 b2 c3 d4 e5 f6 g7 h8 i9 j10"),
+            # repeated PHRASE: token fractions moderate, 3-gram dup catches it
+            (3, "x y z x y z x y z x y z"),
+        ],
+    )
+    r = {row["doc_id"]: row.asDict() for row in repetition_stats(docs).collect()}
+    assert r[1]["top_tok_frac"] == 1.0
+    assert r[1]["dup_2gram_frac"] == round(1.0 - 1 / 9, 6)  # 9 bigram slots, 1 distinct
+    assert r[1]["keep"] == 0
+    assert r[2]["top_tok_frac"] == 0.1
+    assert r[2]["dup_2gram_frac"] == 0.0 and r[2]["dup_3gram_frac"] == 0.0
+    assert r[2]["keep"] == 1
+    assert r[3]["dup_3gram_frac"] > 0.5  # 10 trigram slots, 3 distinct
+    assert r[3]["keep"] == 0
+    assert r[3]["n_tokens"] == 12
+
+
+def test_decontam_plan_broadcasts_benchmark(spark):
+    """The benchmark probe must be a broadcast join — the corpus scan
+    may not shuffle for it (the 100-TB contract in the docstring)."""
+    docs = _docs(spark, [(i, f"w{i} a b c d e f g") for i in range(20)])
+    bench = _docs(spark, [(0, "a b c d e f")]).select("text")
+    plan = benchmark_ngram_overlap(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
