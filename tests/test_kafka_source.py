@@ -150,3 +150,67 @@ def test_pipeline_drain_through_kafka_hop_matches_direct(spark, tmp_path):
     )
     assert (m["_merge"] == "both").all()
     assert (m["content_sha_e"] == m["content_sha_o"]).all()
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# adversarial payload text: JSON metacharacters, control chars,
+# unicode astral plane, backslash runs — everything to_json must
+# escape and json_tuple must unescape exactly
+_nasty_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.sampled_from('"\\\n\t\r\b\f/{}[]:,é世\U0001f600  '),
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),          # seq
+            st.sampled_from(["I", "U", "D"]),                   # op
+            st.one_of(st.none(), _nasty_text),                  # msg_key
+            st.one_of(st.none(), _nasty_text),                  # payload
+            # bounded to year-9999-representable: Python datetime (the
+            # collect() side) caps there; Spark/the wire carry int64
+            st.integers(min_value=0, max_value=250_000_000_000_000_000),  # micros
+            st.one_of(st.none(), st.integers(0, 2**40)),        # txid
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_wire_roundtrip_property(spark, rows):
+    """Any UTF-8 msg_key/payload — JSON metacharacters, control chars,
+    astral-plane codepoints, line/paragraph separators — survives the
+    serialize→bytes→parse hop exactly, as do 62-bit timestamps."""
+    from pyspark.sql import types as T
+
+    pe = spark.createDataFrame(
+        [(seq, op, mk, pl, ts, tx) for seq, op, mk, pl, ts, tx in rows],
+        T.StructType(
+            [
+                T.StructField("seq", T.LongType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("msg_key", T.StringType()),
+                T.StructField("payload", T.StringType()),
+                T.StructField("_micros", T.LongType()),
+                T.StructField("txid", T.LongType()),
+            ]
+        ),
+    ).select(
+        "seq", "op", "msg_key", "payload",
+        F.timestamp_micros(F.col("_micros")).alias("ts"), "txid",
+    )
+    back = simulate_kafka_hop(pe)
+    cols = [f.name for f in PAYLOAD_EVENTS_SCHEMA.fields]
+    a = pe.select(cols).orderBy("seq").collect()
+    b = back.select(cols).orderBy("seq").collect()
+    assert a == b
