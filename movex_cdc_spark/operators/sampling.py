@@ -122,3 +122,50 @@ def cap_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 40,
+    overlap_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with overlap —
+    the context-window prep step: a doc longer than the training
+    context becomes ``ceil`` overlapping windows, short docs pass as
+    one chunk. Returns ``(id, chunk_id, n_chunk_tokens, chunk_text)``.
+
+    Shape: chunk boundaries are computed per row from the token array
+    (codegen), then exploded — a narrow operation, zero shuffle; the
+    output inherits the input partitioning, so chunking composes with
+    a downstream ``pack_token_shards`` without an extra exchange.
+    Overlap duplicates at most ``overlap/stride`` of the corpus —
+    bounded, declared, and identical on every engine (integer math
+    only, no floats in the boundary rule)."""
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    w = F.split(F.col(text_col), " ")
+    n_chunks = F.when(F.size(w) <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(f"(size(split({text_col}, ' ')) - {chunk_tokens} + {stride - 1}) div {stride}")
+    )
+    return (
+        df.withColumn("n_chunks", n_chunks)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, n_chunks - 1), i ->"
+                    f" slice(split({text_col}, ' '), i * {stride} + 1, {chunk_tokens}))"
+                )
+            ).alias("chunk_id", "toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("toks").alias("n_chunk_tokens"),
+            F.array_join("toks", " ").alias("chunk_text"),
+        )
+    )

@@ -2836,3 +2836,90 @@ def text_repetition_rules(spark, sf_dir):
     from movex_cdc_spark.operators.textops import repetition_stats
 
     return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_pii_scrub",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 23 = 0 THEN
+               text || ' contact user' || doc_id || '@example.com or +49151' || doc_id
+                    || ' ip 10.0.' || (doc_id % 256) || '.7 ssn 123-45-6789'
+             ELSE text END AS t
+      FROM documents),
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+           FROM planted),
+    s2 AS (SELECT doc_id, n_email,
+                  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+                  regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ssn,
+                  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                  regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+           FROM s2),
+    s4 AS (SELECT doc_id, n_email, n_ssn, n_ipv4,
+                  len(regexp_extract_all(t, '\+\d{6,14}\b')) AS n_phone,
+                  regexp_replace(t, '\+\d{6,14}\b', '<PHONE>', 'g') AS t
+           FROM s3)
+    SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone, sha256(t) AS scrubbed_sha
+    FROM s4
+    """,
+)
+def curation_pii_scrub(spark, sf_dir):
+    """PII redaction pass (operators/pii.py): emails / SSN-shaped ids /
+    IPv4 / E.164 phones planted deterministically into every 23rd doc
+    (so each category provably fires), scrubbed with typed tokens, and
+    the scrubbed text sha256-checked against the oracle — an
+    offset-or-ordering bug in any replace breaks the hash. Zero
+    shuffle: pure codegen string expressions over one scan."""
+    from movex_cdc_spark.operators.pii import scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +49151"), F.col("doc_id").cast("string"),
+                F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return scrub_pii(planted).select(
+        "doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone",
+        F.sha2("scrubbed", 256).alias("scrubbed_sha"),
+    )
+
+
+@register(
+    "curation_chunk_documents",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sized AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) <= 40 THEN 1
+                  ELSE 1 + (len(w) - 40 + 29) // 30 END AS n_chunks
+      FROM toks)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           len(w[i*30+1 : i*30+40]) AS n_chunk_tokens,
+           array_to_string(w[i*30+1 : i*30+40], ' ') AS chunk_text
+    FROM sized, unnest(range(0, n_chunks)) AS t(i)
+    """,
+)
+def curation_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 40-token chunks, 10-token overlap
+    (stride 30). Boundary rule is pure integer math so both engines
+    cut identical chunks; the explode is narrow (zero shuffle) and
+    composes with pack_token_shards without an exchange
+    (operators/sampling.chunk_documents docstring)."""
+    from movex_cdc_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=40, overlap_tokens=10
+    )

@@ -83,3 +83,55 @@ def test_decontam_plan_broadcasts_benchmark(spark):
     bench = _docs(spark, [(0, "a b c d e f")]).select("text")
     plan = benchmark_ngram_overlap(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_planted(spark):
+    from movex_cdc_spark.operators.pii import scrub_pii
+
+    docs = _docs(
+        spark,
+        [
+            (1, "reach me at jane.doe+spam@sub.example.co.uk or +4915112345678"),
+            (2, "server 10.0.255.7 and 192.168.1.1 ssn 123-45-6789 clean 1234-5678"),
+            (3, "no pii here at all just words"),
+        ],
+    )
+    r = {row["doc_id"]: row.asDict() for row in scrub_pii(docs).collect()}
+    assert r[1]["n_email"] == 1 and r[1]["n_phone"] == 1
+    assert r[1]["scrubbed"] == "reach me at <EMAIL> or <PHONE>"
+    assert r[2]["n_ipv4"] == 2 and r[2]["n_ssn"] == 1 and r[2]["n_email"] == 0
+    assert r[2]["scrubbed"] == "server <IP> and <IP> ssn <SSN> clean 1234-5678"
+    assert r[3]["scrubbed"] == "no pii here at all just words"
+    assert all(r[3][f"n_{k}"] == 0 for k in ("email", "ssn", "ipv4", "phone"))
+
+
+def test_chunk_documents_boundaries(spark):
+    from movex_cdc_spark.operators.sampling import chunk_documents
+
+    toks = lambda n: " ".join(f"t{i}" for i in range(n))
+    docs = _docs(spark, [(1, toks(5)), (2, toks(10)), (3, toks(25))])
+    out = chunk_documents(docs, chunk_tokens=10, overlap_tokens=4)
+    r = {}
+    for row in out.collect():
+        r.setdefault(row["doc_id"], []).append(row)
+    # short doc: one whole chunk
+    assert len(r[1]) == 1 and r[1][0]["n_chunk_tokens"] == 5
+    # exactly chunk-sized: one chunk, no spurious overlap tail
+    assert len(r[2]) == 1 and r[2][0]["n_chunk_tokens"] == 10
+    # 25 tokens, stride 6: chunks at 0,6,12,18 -> sizes 10,10,10,7
+    sizes = [c["n_chunk_tokens"] for c in sorted(r[3], key=lambda c: c["chunk_id"])]
+    assert sizes == [10, 10, 10, 7]
+    # overlap contract: last 4 tokens of chunk i == first 4 of chunk i+1
+    c0, c1 = [c["chunk_text"].split(" ") for c in sorted(r[3], key=lambda c: c["chunk_id"])[:2]]
+    assert c0[-4:] == c1[:4]
+    # full coverage: concatenating de-overlapped chunks rebuilds the doc
+    rebuilt = c0 + c1[4:]
+    assert rebuilt == toks(25).split(" ")[:16]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from movex_cdc_spark.operators.sampling import chunk_documents
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a b")]), chunk_tokens=5, overlap_tokens=5)
