@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from typing import Any
 
@@ -191,6 +192,13 @@ class UnkeyedEventLog:
             try:
                 self._write_version(m2)
             except FileExistsError:
+                # the winner's commit is two steps (exclusive-create
+                # version file, then _current swap); a zero-backoff spin
+                # can burn every attempt re-reading the STALE _current
+                # while the winner is parked between them. Linear
+                # backoff guarantees the winner's microsecond-scale
+                # second step lands within a few retries.
+                time.sleep(0.001 * (_attempt + 1))
                 m = self.meta()  # lost the version race: rebase and retry
                 if epoch_id is not None:
                     last = m["epochs"].get(stream_id)

@@ -158,7 +158,15 @@ def split_flagged(flagged: DataFrame) -> tuple[DataFrame, DataFrame]:
     poison = (
         flagged.filter(F.col(POISON_FLAG))
         .drop(POISON_FLAG)
-        .withColumn("error_msg", F.lit("null content on insert/update"))
+        .withColumn(
+            "error_msg",
+            # same diagnosis rule as split_poison: the dead-letter
+            # record must name the actual defect on both paths
+            F.when(
+                ~F.col("op").isin("I", "U", "D") | F.col("op").isNull(),
+                F.lit("unknown operation"),
+            ).otherwise(F.lit("null content on insert/update")),
+        )
     )
     return valid, poison
 

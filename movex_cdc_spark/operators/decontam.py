@@ -12,10 +12,10 @@ billions), so its distinct n-gram set is BROADCAST — the corpus scan
 never shuffles for the probe. Per doc, distinct n-grams are generated
 in whole-stage codegen (same array-expression pattern as
 operators/dedup.with_shingles), exploded, and hash-probed against the
-broadcast set; the only shuffle is the groupBy(doc_id) of the HIT
-pairs, which is proportional to contamination (rare), not corpus
-size. The left join of hit counts back onto the per-doc frame is a
-doc_id equi-join AQE plans as broadcast when hits are few.
+broadcast set in ONE pass; the only shuffle is the groupBy(doc_id),
+whose map-side combine collapses each doc's exploded grams to a
+single partial row before the exchange — O(docs) shuffle volume, one
+corpus scan, zero joins on the corpus axis.
 
 Not in the reference (curation mandate); closest reference analog is
 the per-event condition filter (db_trigger_generator_oracle.rb
@@ -31,15 +31,7 @@ ID_COL = "doc_id"
 TEXT_COL = "text"
 
 
-def _distinct_ngrams(col_words: str, n: int) -> str:
-    """SQL expr: distinct word n-grams of an array<string> column.
-    sequence(1, 0) DESCENDS in Spark, so short docs short-circuit to
-    an empty array (same guard as dedup.with_shingles)."""
-    return (
-        f"case when size({col_words}) < {n} then cast(array() as array<string>)"
-        f" else array_distinct(transform(sequence(1, size({col_words}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({col_words}, i, {n})))) end"
-    )
+from movex_cdc_spark.functions.ngrams import distinct_word_ngrams as _distinct_ngrams
 
 
 def with_ngrams(df: DataFrame, n: int, text_col: str = TEXT_COL) -> DataFrame:
@@ -77,22 +69,27 @@ def benchmark_ngram_overlap(
         with_ngrams(benchmark, n, bench_text_col)
         .select(F.explode("grams").alias("gram"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    doc_grams = with_ngrams(docs, n, text_col).select(id_col, "grams", "n_grams")
-    hits = (
-        doc_grams.select(id_col, F.explode("grams").alias("gram"))
-        .join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
+    # ONE corpus pass: explode the per-doc distinct grams, probe the
+    # broadcast set with a LEFT join (no row multiplication — the
+    # bench side is distinct), and re-derive n_grams as count(1) in
+    # the same aggregate (grams are array_distinct, so the counts are
+    # identical). The groupBy's map-side combine collapses each doc's
+    # exploded rows before the exchange, so the shuffle is O(docs),
+    # while the scan + gram generation — the dominant cost at corpus
+    # scale — runs ONCE (previously this subtree was evaluated twice:
+    # once for the hit counts, once for the final left join).
+    n_hit = F.count("_hit")
     return (
-        doc_grams.filter(F.col("n_grams") > 0)
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_grams"), 6).alias("hit_frac"),
-            (F.coalesce("n_hit", F.lit(0)) >= min_hits).cast("int").alias("contaminated"),
+        with_ngrams(docs, n, text_col)
+        .select(id_col, F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            n_hit.alias("n_hit"),
+            F.round(n_hit / F.count(F.lit(1)), 6).alias("hit_frac"),
+            (n_hit >= min_hits).cast("int").alias("contaminated"),
         )
     )

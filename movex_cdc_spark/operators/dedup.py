@@ -31,15 +31,10 @@ ID_COL = "doc_id"
 def with_shingles(df: DataFrame, n: int = 3, text_col: str = TEXT_COL) -> DataFrame:
     """Distinct word n-gram shingles per doc, as an array column.
     Pure array expressions — no UDF, stays in whole-stage codegen."""
-    # NB: sequence(1, 0) in Spark DESCENDS ([1,0]) rather than being
-    # empty — short docs must short-circuit to an empty array.
+    from movex_cdc_spark.functions.ngrams import distinct_word_ngrams
+
     return df.withColumn("words", F.split(F.col(text_col), " ")).withColumn(
-        "shingles",
-        F.expr(
-            f"case when size(words) < {n} then cast(array() as array<string>)"
-            f" else array_distinct(transform(sequence(1, size(words) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(words, i, {n})))) end"
-        ),
+        "shingles", F.expr(distinct_word_ngrams("words", n))
     )
 
 

@@ -69,7 +69,11 @@ def suppress_noop_updates(
     if old_col not in df.columns:
         return df
     is_noop = (F.col(op_col) == "U") & F.col(old_col).eqNullSafe(F.col(new_col))
-    return df.filter(~is_noop)
+    # coalesce: a NULL op (malformed wire record, old<=>new both NULL)
+    # makes is_noop NULL, and filter(~NULL) would silently drop the row
+    # HERE — before split_poison ever sees it. Only a definite no-op
+    # may be suppressed; undecidable rows continue to the poison split.
+    return df.filter(~F.coalesce(is_noop, F.lit(False)))
 
 
 def split_poison(

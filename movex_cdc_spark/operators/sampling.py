@@ -146,26 +146,22 @@ def chunk_documents(
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
     stride = chunk_tokens - overlap_tokens
-    w = F.split(F.col(text_col), " ")
-    n_chunks = F.when(F.size(w) <= chunk_tokens, F.lit(1)).otherwise(
-        F.lit(1)
-        + F.expr(f"(size(split({text_col}, ' ')) - {chunk_tokens} + {stride - 1}) div {stride}")
+    # transform(array(split(..)), w -> ...) is the SQL "let" idiom: the
+    # token array is bound to the lambda variable and tokenized exactly
+    # ONCE per document. A plain column would be inlined by project
+    # collapsing and re-split inside the per-chunk lambda — O(chunks ×
+    # doc_len) re-tokenization per row instead of O(doc_len).
+    chunks = (
+        f"transform(array(split({text_col}, ' ')), w ->"
+        f" transform(sequence(0, case when size(w) <= {chunk_tokens} then 0"
+        f"   else (size(w) - {chunk_tokens} + {stride - 1}) div {stride} end),"
+        f"  i -> slice(w, i * {stride} + 1, {chunk_tokens})))[0]"
     )
-    return (
-        df.withColumn("n_chunks", n_chunks)
-        .select(
-            id_col,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, n_chunks - 1), i ->"
-                    f" slice(split({text_col}, ' '), i * {stride} + 1, {chunk_tokens}))"
-                )
-            ).alias("chunk_id", "toks"),
-        )
-        .select(
-            id_col,
-            "chunk_id",
-            F.size("toks").alias("n_chunk_tokens"),
-            F.array_join("toks", " ").alias("chunk_text"),
-        )
+    return df.select(
+        id_col, F.posexplode(F.expr(chunks)).alias("chunk_id", "toks")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.size("toks").alias("n_chunk_tokens"),
+        F.array_join("toks", " ").alias("chunk_text"),
     )

@@ -178,12 +178,11 @@ def repetition_stats(
         )
 
     def _distinct_g(n: int) -> F.Column:
-        # sequence(1, 0) DESCENDS in Spark; short docs short-circuit
-        return F.expr(
-            f"case when size(w) < {n} then 0"
-            f" else size(array_distinct(transform(sequence(1, size(w) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(w, i, {n}))))) end"
-        )
+        from movex_cdc_spark.functions.ngrams import distinct_word_ngrams
+
+        # size(empty array) = 0, so the canonical short-doc guard
+        # yields the same 0 this column previously special-cased
+        return F.expr(f"size({distinct_word_ngrams('w', n)})")
 
     grams = df.withColumn("w", F.split(F.col(TEXT_COL), " ")).select(
         ID_COL,

@@ -135,7 +135,9 @@ def read_events_kafka(
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
     )
-    if max_offsets_per_trigger:
+    if max_offsets_per_trigger is not None:
+        if int(max_offsets_per_trigger) <= 0:
+            raise ValueError("max_offsets_per_trigger must be positive")
         r = r.option("maxOffsetsPerTrigger", int(max_offsets_per_trigger))
     return parse_queue_wire(r.load(), tagged=tagged)
 

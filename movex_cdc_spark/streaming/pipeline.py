@@ -350,17 +350,31 @@ class MultiplexedCdcPipeline:
             present = {
                 r["table_name"] for r in batch.select("table_name").distinct().collect()
             }
-            strays = sorted(present - set(self.config.tables))
+            # a NULL tag is reachable from the tagged Kafka source (a
+            # malformed wire record parses all-null): it can't be in
+            # sorted() (None < str raises) and isin([None]) is NULL —
+            # matching nothing — so it gets its own predicate branch.
+            has_null_tag = None in present
+            strays = sorted(present - set(self.config.tables) - {None})
+            stray_pred = (
+                F.col("table_name").isin(strays) if strays else F.lit(False)
+            )
+            if has_null_tag:
+                stray_pred = stray_pred | F.col("table_name").isNull()
             n_strays = 0
-            if strays:
+            if strays or has_null_tag:
                 if self.dead_letter is not None:
                     if self._dispatch_dl is None:
                         self._dispatch_dl = DeadLetterTable(
                             self.spark, self.dead_letter.path + "_dispatch", fs=self._fs
                         )
                     n_strays = self._dispatch_dl.append(
-                        batch.filter(F.col("table_name").isin(strays)).withColumn(
-                            "error_msg", F.lit("unconfigured table")
+                        batch.filter(stray_pred).withColumn(
+                            "error_msg",
+                            F.when(
+                                F.col("table_name").isNull(),
+                                F.lit("missing table tag"),
+                            ).otherwise(F.lit("unconfigured table")),
                         ),
                         stream_id=f"{self.stream_id}-dispatch",
                         epoch_id=epoch_id,
@@ -369,9 +383,7 @@ class MultiplexedCdcPipeline:
                     # no quarantine dir: the rows are still DROPPED, and
                     # the epoch lineage must say so — a silent
                     # n_strays=0 would hide the data loss
-                    n_strays = batch.filter(
-                        F.col("table_name").isin(strays)
-                    ).count()
+                    n_strays = batch.filter(stray_pred).count()
             def _dispatch_one(name: str, cfg) -> dict[str, Any]:
                 sub = parse_payload_events(
                     batch.filter(F.col("table_name") == name)

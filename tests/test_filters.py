@@ -59,3 +59,48 @@ def test_split_poison(spark):
     assert sorted(r["seq"] for r in valid.collect()) == [3, 4]
     assert sorted(r["seq"] for r in poison.collect()) == [1, 2]
     assert "error_msg" in poison.columns
+
+
+def test_null_op_rows_survive_noop_suppression_to_quarantine(spark):
+    """Regression: a malformed wire record parses all-null; NULL op made
+    is_noop NULL (NULL AND TRUE) and filter(~NULL) silently dropped the
+    row BEFORE split_poison ever saw it. Only a definite no-op may be
+    suppressed — undecidable rows must continue to the poison split."""
+    df = _df(
+        spark,
+        [
+            (1, "r", "a", "new", "old", "U"),
+            (2, None, None, None, None, None),  # malformed: all-null
+        ],
+    )
+    kept = suppress_noop_updates(df)
+    assert sorted(r["seq"] for r in kept.select("seq").collect()) == [1, 2]
+    valid, poison = split_poison(kept)
+    assert [r["seq"] for r in valid.collect()] == [1]
+    p = poison.collect()
+    assert len(p) == 1 and p[0]["error_msg"] == "unknown operation"
+
+
+def test_flagged_fast_path_diagnoses_unknown_op(spark):
+    """Regression: split_flagged stamped EVERY poison row 'null content
+    on insert/update'; unknown-op rows must carry the same diagnosis
+    split_poison gives them, on both the batch and streaming paths."""
+    from movex_cdc_spark.operators.apply import flag_dispositions, split_flagged
+
+    df = _df(
+        spark,
+        [
+            (1, "r", "a", "x", None, "I"),
+            (2, "r", "b", None, None, "I"),      # null content on insert
+            (3, "r", "c", "y", None, "Z"),       # unknown op
+            (4, None, None, None, None, None),   # malformed all-null
+        ],
+    )
+    valid, poison = split_flagged(flag_dispositions(df))
+    assert [r["seq"] for r in valid.collect()] == [1]
+    msgs = {r["seq"]: r["error_msg"] for r in poison.collect()}
+    assert msgs == {
+        2: "null content on insert/update",
+        3: "unknown operation",
+        4: "unknown operation",
+    }

@@ -240,3 +240,63 @@ def test_multiplexed_poison_quarantined_for_every_table(spark, tmp_path):
                   dl.groupBy("stream_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert per_stream.get("cdc-mux:repo_files", 0) >= 3
     assert per_stream.get("cdc-mux:repo_files_b", 0) >= 3
+
+
+def test_multiplexed_null_table_tag_quarantined(spark, tmp_path):
+    """Regression: a NULL table tag is reachable from the tagged Kafka
+    source (a malformed wire record parses all-null). It used to either
+    crash the epoch (sorted() can't order None against string strays)
+    or vanish silently (isin([None]) is NULL, matching nothing). Both
+    shapes must dead-letter / count instead."""
+    cfg = repo_files_config()
+    ev = generate_events(GenParams(n_events=300, seed=77,
+                                   p_poison=0.0, p_filtered=0.0))
+    ghost = generate_events(GenParams(n_events=20, seed=78,
+                                      p_poison=0.0, p_filtered=0.0))
+    d = _stage_interleaved(spark, tmp_path,
+                           {"repo_files": ev, "ghost_table": ghost}, n_files=1)
+    # null the tag on a handful of staged rows — the malformed shape —
+    # so ONE batch carries both a string stray and a NULL tag
+    f = os.path.join(d, "q-000.parquet")
+    pdf = pq.read_table(f).to_pandas()
+    null_idx = pdf.index[pdf["table_name"] == "repo_files"][:5]
+    pdf.loc[null_idx, "table_name"] = None
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    t_a = LakeTable.create(spark, str(tmp_path / "lake_a"), REPO_FILES_SCHEMA,
+                           KEY_COLS, n_buckets=4)
+    pipe = MultiplexedCdcPipeline(
+        spark, cfg,
+        sinks={"repo_files": t_a},
+        events_dir=d,
+        checkpoint_dir=str(tmp_path / "ck"),
+        dead_letter_dir=str(tmp_path / "dl"),
+    )
+    epochs = pipe.run_available_now()
+    assert sum(e["n_strays"] for e in epochs) == len(ghost) + 5
+    dl = UnkeyedEventLog.load(spark, str(tmp_path / "dl") + "_dispatch").read()
+    by_msg = {r["error_msg"]: r["n"] for r in
+              dl.groupBy("error_msg").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_msg == {"unconfigured table": len(ghost), "missing table tag": 5}
+
+    # NULL as the ONLY stray, and no quarantine dir: the rows are
+    # dropped but the lineage must still count them (the silent-loss
+    # arm of the old bug)
+    d2 = _stage_interleaved(spark, tmp_path / "q2",
+                            {"repo_files": ev}, n_files=1)
+    f2 = os.path.join(d2, "q-000.parquet")
+    pdf2 = pq.read_table(f2).to_pandas()
+    pdf2.loc[pdf2.index[:3], "table_name"] = None
+    pq.write_table(pa.Table.from_pandas(pdf2, preserve_index=False), f2,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    t_b = LakeTable.create(spark, str(tmp_path / "lake_b"), REPO_FILES_SCHEMA,
+                           KEY_COLS, n_buckets=4)
+    pipe2 = MultiplexedCdcPipeline(
+        spark, cfg,
+        sinks={"repo_files": t_b},
+        events_dir=d2,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    epochs2 = pipe2.run_available_now()
+    assert sum(e["n_strays"] for e in epochs2) == 3
