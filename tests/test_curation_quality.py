@@ -135,3 +135,93 @@ def test_chunk_documents_rejects_bad_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(_docs(spark, [(1, "a b")]), chunk_tokens=5, overlap_tokens=5)
+
+
+# ---------------------------------------------------------------- property
+# Same harness shape as test_kafka_source.test_wire_roundtrip_property:
+# few derandomized examples, each one Spark job over a small batch.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=120),
+                  min_size=1, max_size=6),
+    chunk=st.integers(min_value=2, max_value=25),
+    overlap_raw=st.integers(min_value=0, max_value=24),
+)
+def test_chunk_documents_property(spark, lens, chunk, overlap_raw):
+    """Any (doc length, chunk size, overlap) triple: chunk ids are
+    dense from 0, every chunk matches the integer-math reference
+    slicing, and de-overlapped concatenation rebuilds the doc."""
+    from movex_cdc_spark.operators.sampling import chunk_documents
+
+    overlap = overlap_raw % chunk
+    stride = chunk - overlap
+
+    def ref(tokens):
+        n = 1 if len(tokens) <= chunk else 1 + -(-(len(tokens) - chunk) // stride)
+        return [tokens[i * stride:i * stride + chunk] for i in range(n)]
+
+    docs = [(i, " ".join(f"t{i}x{j}" for j in range(ln)))
+            for i, ln in enumerate(lens)]
+    out = chunk_documents(_docs(spark, docs), chunk_tokens=chunk,
+                          overlap_tokens=overlap).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    for i, ln in enumerate(lens):
+        toks = docs[i][1].split(" ")
+        want = ref(toks)
+        assert sorted(got[i]) == list(range(len(want)))
+        for cid, w in enumerate(want):
+            r = got[i][cid]
+            assert r["chunk_text"].split(" ") == w
+            assert r["n_chunk_tokens"] == len(w)
+        # de-overlapped reconstruction
+        rebuilt = list(want[0])
+        for w in want[1:]:
+            rebuilt.extend(w[overlap:])
+        assert rebuilt == toks
+
+
+_pii_fragment = st.sampled_from([
+    "plain", "words", "only",
+    "a.b-c_d%e+f@sub.example.co.uk", "x@y.io", "no@tld",          # email + near-miss
+    "123-45-6789", "12-345-6789", "1234-56-789",                  # ssn + near-misses
+    "10.0.255.7", "192.168.1.1", "1.2.3", "300.300.300.300",      # ipv4 + near-miss
+    "+4915112345678", "+12345", "+123456", "not+123456x",         # phone edge cases
+    "mixed 1.2.3.4 and 999-99-9999 inline",
+])
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.lists(_pii_fragment, min_size=1, max_size=12),
+                     min_size=1, max_size=8))
+def test_pii_scrub_property(spark, rows):
+    """Random fragment soups vs a pure-Python re reference running the
+    SAME ordered pattern chain: per-category counts and the scrubbed
+    text must agree exactly (the patterns live in the Java∩RE2∩Python
+    regex subset, so all three engines agree)."""
+    import re
+
+    from movex_cdc_spark.operators.pii import PII_PATTERNS, scrub_pii
+
+    def ref(text):
+        counts, t = {}, text
+        for name, pat, token in PII_PATTERNS:
+            counts[name] = len(re.findall(pat, t))
+            t = re.sub(pat, token, t)
+        return counts, t
+
+    docs = [(i, " ".join(frags)) for i, frags in enumerate(rows)]
+    got = {r["doc_id"]: r for r in scrub_pii(_docs(spark, docs)).collect()}
+    for i, text in docs:
+        counts, scrubbed = ref(text)
+        for name in counts:
+            assert got[i][f"n_{name}"] == counts[name], (name, text)
+        assert got[i]["scrubbed"] == scrubbed, text
