@@ -53,7 +53,7 @@ _PRIORITY = [
 # Deliberate overflow past a 50-query driver cap. Each is multi-round
 # driver-green (green in BOTH r4 and r5 driver sheets — none was in
 # r5's overflow set), its operator family stays driver-verified by
-# sibling rows inside the window, and pytest covers all twelve every
+# sibling rows inside the window, and pytest covers all sixteen every
 # round. In-window siblings per family: ANN -> ann_ivf_probe +
 # ann_random_projection_lsh; dedup -> minhash_lsh, ngram_jaccard,
 # embedding_cosine, exact_sha; joins -> multikey_config_assembly,

@@ -275,20 +275,50 @@ class UnkeyedEventLog:
         """Reap retired segment dirs whose swap happened more than
         ``keep_last`` versions ago (LakeTable.expire_snapshots analog):
         any reader that planned against a retained listing has finished
-        by then. Returns the number of dirs removed."""
+        by then. Also reaps ORPHAN segment dirs — a fenced-out
+        concurrent appender (its epoch won by a rival) or a crashed
+        writer leaves its uuid-named segment on disk, never listed.
+        Under concurrent dispatch that race is normal operation, so
+        orphans would otherwise accumulate forever. Returns the number
+        of dirs removed.
+
+        Orphan reaping is TWO-PHASE (observe, then reap once the log
+        has advanced ``keep_last`` versions past the observation):
+        an in-flight append writes its segment BEFORE the metadata
+        commit — and keeps its original dir name while rebasing through
+        commit retries — so an unlisted dir seen ONCE may still commit.
+        A dir unlisted across a ``keep_last``-version window is dead
+        under the same timing assumption the retired retention already
+        makes for readers."""
         m = self.meta()
         cutoff = m["version"] - keep_last
         keep, removed = [], 0
+        retired_dirs = {r["dir"] for r in m.get("retired", [])}
         for r in m.get("retired", []):
             if r["at_version"] <= cutoff:
                 self.fs.rmtree(os.path.join(self.path, r["dir"]))
                 removed += 1
             else:
                 keep.append(r)
-        if removed:
+        live = {f.split(os.sep, 1)[0] for f in m["files"]}
+        seen = dict(m.get("orphans_seen", {}))
+        new_seen: dict[str, int] = {}
+        for d in sorted(self.fs.listdir(self.path)):
+            if not d.startswith("seg-") or d in live or d in retired_dirs:
+                continue
+            if not self.fs.isdir(os.path.join(self.path, d)):
+                continue
+            observed_at = seen.get(d)
+            if observed_at is not None and observed_at <= cutoff:
+                self.fs.rmtree(os.path.join(self.path, d))
+                removed += 1
+            else:
+                new_seen[d] = m["version"] if observed_at is None else observed_at
+        if removed or new_seen != seen:
             m2 = dict(m)
             m2["version"] = m["version"] + 1
             m2["retired"] = keep
+            m2["orphans_seen"] = new_seen
             self._write_version(m2)
         return removed
 

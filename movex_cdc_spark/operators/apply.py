@@ -24,9 +24,11 @@ from pyspark.sql import types as T
 from movex_cdc_spark.functions.hashing import sha256_builtin, content_sha256
 from movex_cdc_spark.lake.table import LakeTable
 from movex_cdc_spark.operators.filters import (
+    bad_op_predicate,
     condition_filter,
     default_exclude_condition,
     per_op_condition_filter,
+    poison_predicate,
     split_poison,
     suppress_noop_updates,
 )
@@ -143,12 +145,7 @@ def flag_dispositions(
     """
     df = condition_filter(events, condition_sql or default_exclude_condition())
     df = suppress_noop_updates(df)
-    bad = (F.col("content").isNull() & F.col("op").isin("I", "U")) | (
-        # unknown/null op: byte-stream transports can deliver rows that
-        # parse all-null — quarantine, don't merge (see split_poison)
-        ~F.col("op").isin("I", "U", "D") | F.col("op").isNull()
-    )
-    return df.withColumn(POISON_FLAG, bad).drop("old_content")
+    return df.withColumn(POISON_FLAG, poison_predicate()).drop("old_content")
 
 
 def split_flagged(flagged: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -163,8 +160,7 @@ def split_flagged(flagged: DataFrame) -> tuple[DataFrame, DataFrame]:
             # same diagnosis rule as split_poison: the dead-letter
             # record must name the actual defect on both paths
             F.when(
-                ~F.col("op").isin("I", "U", "D") | F.col("op").isNull(),
-                F.lit("unknown operation"),
+                bad_op_predicate(), F.lit("unknown operation")
             ).otherwise(F.lit("null content on insert/update")),
         )
     )

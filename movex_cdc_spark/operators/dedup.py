@@ -158,7 +158,10 @@ def minhash_signature(df: DataFrame, k: int = 8, n: int = 3, id_col: str = ID_CO
     substr(sha256(s), i*chunk+1, chunk)."""
     assert 64 % k == 0, "k must divide the 64 hex chars of sha256"
     chunk = 64 // k
-    sh = with_shingles(df, n)
+    # a frame that already carries `shingles` (a caller sharing ONE
+    # shingle pass across stages, e.g. ngram_jaccard_pregated) is used
+    # as-is; anything else is shingled here
+    sh = df if "shingles" in df.columns else with_shingles(df, n)
     shas = sh.withColumn("shas", F.expr("transform(shingles, s -> sha2(s, 256))"))
     return shas.withColumn(
         "sig",
@@ -365,8 +368,11 @@ def jaccard_verify_pairs(
     Jaccard is computed with one ``array_intersect`` over the two
     docs' distinct shingle arrays — two hash joins plus per-pair
     codegen set ops. Cost ∝ |candidates| × doc length; there is NO
-    all-pairs block explosion anywhere."""
-    sh = with_shingles(df, n).select(id_col, "shingles")
+    all-pairs block explosion anywhere. A pre-shingled ``df`` (already
+    has a ``shingles`` column) is used as-is."""
+    sh = (df if "shingles" in df.columns else with_shingles(df, n)).select(
+        id_col, "shingles"
+    )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
     return (
@@ -406,7 +412,18 @@ def ngram_jaccard_pregated(
     1-(1-j^r)^b) for a measured constant-factor win on the exact
     stage (BENCH_SCALING r6, 50k docs). Both are deterministic
     (sha256-derived permutations), so the full pipeline is oracle-
-    checkable end to end."""
-    nonempty = with_shingles(df, n).filter(F.size("shingles") > 0).select(df.columns)
-    cand = minhash_lsh_pairs(nonempty, k=k, rows_per_band=rows_per_band, n=n, id_col=id_col)
-    return jaccard_verify_pairs(nonempty, cand, n=n, threshold=threshold, id_col=id_col)
+    checkable end to end.
+
+    The shingle pass — the dominant per-doc cost — runs ONCE: the
+    shingled frame is persisted and threaded through both the LSH
+    candidate stage and the verify joins (previously each of the three
+    consumers re-tokenized the full corpus). The cache is reclaimed by
+    the ContextCleaner once the returned plan is released."""
+    shingled = (
+        with_shingles(df, n)
+        .select(id_col, "shingles")
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    cand = minhash_lsh_pairs(shingled, k=k, rows_per_band=rows_per_band, n=n, id_col=id_col)
+    return jaccard_verify_pairs(shingled, cand, n=n, threshold=threshold, id_col=id_col)

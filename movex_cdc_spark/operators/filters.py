@@ -23,12 +23,40 @@ from pyspark.sql import functions as F
 from movex_cdc_spark.datagen import EXCLUDE_MARKER
 
 
+def bad_op_predicate(op_col: str = "op") -> F.Column:
+    """Rows whose operation is unknown or NULL — transport junk on
+    byte-stream sources (a malformed wire record parses all-null)."""
+    return ~F.col(op_col).isin("I", "U", "D") | F.col(op_col).isNull()
+
+
+def poison_predicate(content_col: str = "content", op_col: str = "op") -> F.Column:
+    """THE quarantine rule (single definition): I/U without content,
+    or an unknown/NULL op. Everything that routes rows toward the
+    dead-letter path — split_poison, flag_dispositions, and the
+    condition filters' quarantine exemption — derives from this."""
+    bad_content = F.col(content_col).isNull() & F.col(op_col).isin("I", "U")
+    return bad_content | bad_op_predicate(op_col)
+
+
 def condition_filter(df: DataFrame, condition_sql: str | None) -> DataFrame:
     """Apply a per-table SQL condition (rows NOT matching are dropped —
-    the trigger-condition semantics: condition true ⇒ event captured)."""
+    the trigger-condition semantics: condition true ⇒ event captured).
+
+    Poison-shaped rows BYPASS the condition: on a malformed row the
+    predicate is typically undecidable (NULL — e.g. ``lang = 'py'``
+    over an all-null parse), and three-valued logic would silently
+    drop it HERE before the poison split can quarantine it. The
+    reference raises on such rows rather than filtering them; here
+    they continue to the dead-letter path regardless of condition.
+    The exemption applies only to CDC-event-shaped frames (op +
+    content columns present) — on anything else there is no poison
+    split downstream and the condition keeps its pure semantics."""
     if not condition_sql:
         return df
-    return df.filter(F.expr(condition_sql))
+    keep = F.expr(condition_sql)
+    if "op" in df.columns and "content" in df.columns:
+        keep = F.coalesce(keep, F.lit(False)) | poison_predicate()
+    return df.filter(keep)
 
 
 def per_op_condition_filter(
@@ -45,6 +73,11 @@ def per_op_condition_filter(
     keep = F.lit(True)
     for op, sql in conditions.items():
         keep = keep & F.when(F.col(op_col) == op, F.expr(sql)).otherwise(F.lit(True))
+    # same quarantine exemption as condition_filter: a poison-shaped
+    # row with an undecidable (NULL) condition must reach the split —
+    # only on CDC-event-shaped frames (content present), same rule
+    if "content" in df.columns:
+        keep = F.coalesce(keep, F.lit(False)) | poison_predicate(op_col=op_col)
     return df.filter(keep)
 
 
@@ -86,15 +119,11 @@ def split_poison(
     all-null row, which must quarantine — not merge a null-key row
     into the table. (The reference raises on an unknown operation,
     transfer_thread.rb's else-branch; here it dead-letters.)"""
-    bad_content = F.col(content_col).isNull() & F.col(op_col).isin("I", "U")
-    bad_op = ~F.col(op_col).isin("I", "U", "D") | F.col(op_col).isNull()
-    poison = (
-        df.filter(bad_content | bad_op)
-        .withColumn(
-            "error_msg",
-            F.when(bad_op, F.lit("unknown operation")).otherwise(
-                F.lit("null content on insert/update")
-            ),
-        )
+    bad = poison_predicate(content_col, op_col)
+    poison = df.filter(bad).withColumn(
+        "error_msg",
+        F.when(bad_op_predicate(op_col), F.lit("unknown operation")).otherwise(
+            F.lit("null content on insert/update")
+        ),
     )
-    return df.filter(~(bad_content | bad_op)), poison
+    return df.filter(~bad), poison

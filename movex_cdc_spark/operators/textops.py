@@ -149,13 +149,16 @@ def repetition_stats(
     df: DataFrame,
     keep_top_tok: float = 0.12,
     keep_dup_2gram: float = 0.10,
+    keep_dup_3gram: float = 0.08,
 ) -> DataFrame:
     """Repetition quality signals (the Gopher-rules family, public
     methodology): per doc the top-token mass fraction and the
     duplicate 2-/3-gram occurrence fractions, plus a keep flag at the
-    configured thresholds. Repeated boilerplate and degenerate
-    keyword-stuffed pages score high on all three; the battery's
-    ratio/length features miss them.
+    configured thresholds — ALL THREE signals gate (a doc whose
+    repetition is concentrated in repeated 3-grams with diverse bigram
+    contexts must not slip through on the 2-gram rule alone). Repeated
+    boilerplate and degenerate keyword-stuffed pages score high on all
+    three; the battery's ratio/length features miss them.
 
     Shape: the n-gram dup fractions are per-row array expressions
     (codegen, zero shuffle — 1 - distinct/total over the doc's own
@@ -198,5 +201,6 @@ def repetition_stats(
         (
             (F.round(F.col("top_c") / F.col("n_tokens"), 6) <= keep_top_tok)
             & (F.col("dup_2gram_frac") <= keep_dup_2gram)
+            & (F.col("dup_3gram_frac") <= keep_dup_3gram)
         ).cast("int").alias("keep"),
     )

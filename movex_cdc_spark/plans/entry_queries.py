@@ -2823,6 +2823,7 @@ def curation_decontaminate(spark, sf_dir):
            round(CASE WHEN g.n_3g <= 0 THEN 0 ELSE 1.0 - g.d_3g / g.n_3g END, 6) AS dup_3gram_frac,
            CAST(round(t.top_c / t.n_tokens, 6) <= 0.12
                 AND round(CASE WHEN g.n_2g <= 0 THEN 0 ELSE 1.0 - g.d_2g / g.n_2g END, 6) <= 0.10
+                AND round(CASE WHEN g.n_3g <= 0 THEN 0 ELSE 1.0 - g.d_3g / g.n_3g END, 6) <= 0.08
                 AS INT) AS keep
     FROM tok_stats t JOIN gram_stats g USING (doc_id)
     """,

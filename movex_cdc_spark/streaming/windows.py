@@ -373,22 +373,30 @@ def sessionize_backfill(
     # commit log — it never clears out_dir itself. If a PRIOR run took
     # the SQL route (overwrite) and input growth flipped the route, those
     # SQL files would sit alongside the streamed files as duplicate
-    # session rows. Mirror the SQL route's overwrite semantics: an
-    # out_dir WITH _spark_metadata belongs to a crashed/resuming stateful
-    # run — keep out_dir AND checkpoint so the resume stays exactly-once.
-    # Anything else is NOT this sink's resumable output, so clear BOTH:
-    # clearing out_dir alone while an older checkpoint survives would
-    # resume a fully-committed query over an empty out_dir and emit
-    # nothing (the sql→stateful→back flip), losing the whole backfill.
+    # session rows. Mirror the SQL route's overwrite semantics: a resume
+    # is ONLY the matched PAIR (out_dir _spark_metadata + the checkpoint
+    # that produced it) — keep both halves so the resume stays
+    # exactly-once. Any mismatched half means recompute, so clear BOTH:
+    #   * sink metadata without a checkpoint (a rerun pointed a FRESH
+    #     checkpoint at an old out_dir): the query renumbers batches
+    #     from 0 and FileStreamSink dedups on batch id, silently
+    #     skipping every already-committed id — the grown input's
+    #     sessions would never be written;
+    #   * checkpoint without sink metadata (the sql→stateful→back
+    #     flip): a fully-committed query resumes over an empty out_dir
+    #     and emits nothing, losing the whole backfill.
     import os
 
     from movex_cdc_spark.lake.fs import DEFAULT_FS, HadoopFS
 
     _ofs = HadoopFS(spark) if "://" in out_dir else DEFAULT_FS
-    if not _ofs.isdir(os.path.join(out_dir, "_spark_metadata")):
+    _cfs = HadoopFS(spark) if "://" in checkpoint_dir else DEFAULT_FS
+    resumable = _ofs.isdir(os.path.join(out_dir, "_spark_metadata")) and _cfs.isdir(
+        os.path.join(checkpoint_dir, "offsets")
+    )
+    if not resumable:
         if _ofs.exists(out_dir):
             _ofs.rmtree(out_dir)
-        _cfs = HadoopFS(spark) if "://" in checkpoint_dir else DEFAULT_FS
         if _cfs.exists(checkpoint_dir):
             _cfs.rmtree(checkpoint_dir)
     q = gap_sessionize_stateful(

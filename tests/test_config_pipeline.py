@@ -337,3 +337,33 @@ def test_unkeyed_log_crash_between_write_and_commit_recovers(spark, tmp_path):
     assert os.path.isdir(orphan)  # orphan simply stays unlisted
     listed_dirs = {f.split(os.sep)[0] for f in log.meta()["files"]}
     assert "seg-1-deadbeef" not in listed_dirs
+
+
+def test_expire_segments_reaps_fenced_orphans(spark, tmp_path):
+    """Regression: a fenced-out concurrent appender (its epoch won by a
+    rival) leaves its uuid-named segment dir on disk, never listed —
+    under concurrent dispatch that's normal operation, and the dirs
+    leaked forever. expire_segments must reap them, but only TWO-PHASE
+    (observe, then reap after keep_last more versions): a dir unlisted
+    once may be an in-flight append that hasn't committed yet."""
+    import os
+
+    log = UnkeyedEventLog.create(spark, str(tmp_path / "log"))
+    df = spark.range(5).selectExpr("id as a")
+    log.append(df, stream_id="s", epoch_id=0)
+    # the fenced-out loser: segment written, metadata commit never won
+    orphan_files = log._write_segment(df, log.meta()["version"] + 1)
+    orphan_dir = os.path.join(str(tmp_path / "log"),
+                              orphan_files[0].split(os.sep, 1)[0])
+    assert os.path.isdir(orphan_dir)
+    # phase 1: observed, NOT reaped (could be an in-flight append)
+    assert log.expire_segments(keep_last=1) == 0
+    assert os.path.isdir(orphan_dir)
+    # the log advances past the retention horizon
+    log.append(df, stream_id="s", epoch_id=1)
+    log.append(df, stream_id="s", epoch_id=2)
+    # phase 2: still unlisted after keep_last more versions -> reaped
+    assert log.expire_segments(keep_last=1) == 1
+    assert not os.path.isdir(orphan_dir)
+    # committed data untouched
+    assert log.read().count() == 15

@@ -225,3 +225,22 @@ def test_pii_scrub_property(spark, rows):
         for name in counts:
             assert got[i][f"n_{name}"] == counts[name], (name, text)
         assert got[i]["scrubbed"] == scrubbed, text
+
+
+def test_repetition_keep_gates_on_3gram_rule(spark):
+    """Regression: dup_3gram_frac was computed and reported but the
+    keep flag ignored it. The 3-gram threshold must gate independently
+    — tightening keep_dup_3gram alone flips keep on a doc whose only
+    repetition is one far-apart repeated trigram."""
+    # one repeated trigram ("x y z" twice) in a 30-token doc:
+    # dup_3 = 1/28 ~ 0.036, dup_2 = 2/29 ~ 0.069 -> default keeps
+    filler = " ".join(f"u{i}" for i in range(24))
+    doc = "x y z " + filler + " x y z"
+    docs = _docs(spark, [(1, doc)])
+    r_default = repetition_stats(docs).collect()[0]
+    assert r_default["dup_3gram_frac"] > 0
+    assert r_default["keep"] == 1
+    r_tight = repetition_stats(docs, keep_dup_3gram=0.0).collect()[0]
+    assert r_tight["keep"] == 0
+    # 2-gram rule alone must not be what fired: it passes at default
+    assert r_tight["dup_2gram_frac"] <= 0.10

@@ -104,3 +104,35 @@ def test_flagged_fast_path_diagnoses_unknown_op(spark):
         3: "unknown operation",
         4: "unknown operation",
     }
+
+
+def test_custom_condition_passes_malformed_rows_to_quarantine(spark):
+    """Regression: with a CUSTOM capture condition (not the null-safe
+    default), a malformed row makes the predicate NULL and three-valued
+    logic dropped it before the poison split. Poison-shaped rows must
+    bypass the condition on both the single- and per-op paths."""
+    from movex_cdc_spark.operators.apply import flag_dispositions, split_flagged
+    from movex_cdc_spark.operators.filters import per_op_condition_filter
+
+    df = _df(
+        spark,
+        [
+            (1, "r", "a", "keep me", None, "I"),
+            (2, "r", "b", "drop me", None, "I"),   # fails condition: silent drop is CORRECT
+            (3, None, None, None, None, None),     # malformed: condition NULL
+            (4, "r", "d", None, None, "I"),        # poison: condition NULL
+        ],
+    )
+    valid, poison = split_flagged(
+        flag_dispositions(df, condition_sql="contains(content, 'keep')")
+    )
+    assert [r["seq"] for r in valid.collect()] == [1]
+    msgs = {r["seq"]: r["error_msg"] for r in poison.collect()}
+    assert msgs == {
+        3: "unknown operation",
+        4: "null content on insert/update",
+    }
+
+    # per-op path: same exemption
+    kept = per_op_condition_filter(df, {"I": "contains(content, 'keep')"})
+    assert sorted(r["seq"] for r in kept.collect()) == [1, 3, 4]

@@ -514,3 +514,53 @@ def test_sessionize_backfill_route_flip_back_with_stale_checkpoint(spark, tmp_pa
     )
     assert len(raw3) == n
     assert not raw3.duplicated(["user_id", "session_id"]).any()
+
+
+def test_sessionize_backfill_fresh_checkpoint_recomputes(spark, tmp_path):
+    """Regression: rerunning a stateful backfill over the SAME out_dir
+    with a FRESH checkpoint used to emit nothing — the new query
+    renumbers batches from 0 and FileStreamSink dedups on batch id
+    against the out_dir's existing _spark_metadata, silently skipping
+    every batch. A resume is only the matched (sink metadata,
+    checkpoint) PAIR; a fresh checkpoint must trigger a full
+    recompute that covers input added since the first run."""
+    import glob
+
+    from movex_cdc_spark.streaming.windows import sessionize_backfill
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet").sort_values("ts")
+    d = str(tmp_path / "events")
+    os.makedirs(d, exist_ok=True)
+    half = len(ev) // 2
+    pq.write_table(pa.Table.from_pandas(ev.iloc[:half], preserve_index=False),
+                   os.path.join(d, "ev-000.parquet"),
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    out = str(tmp_path / "out")
+    r1 = sessionize_backfill(spark, d, str(tmp_path / "ck_a"), out,
+                             EVENTS_SCHEMA, events_per_key_threshold=0.0)
+    assert r1["path"] == "stateful"
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    # the input GROWS, and the rerun arrives with a fresh checkpoint
+    pq.write_table(pa.Table.from_pandas(ev.iloc[half:], preserve_index=False),
+                   os.path.join(d, "ev-001.parquet"),
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    r2 = sessionize_backfill(spark, d, str(tmp_path / "ck_b"), out,
+                             EVENTS_SCHEMA, events_per_key_threshold=0.0)
+    assert r2["path"] == "stateful"
+
+    # reference: one clean full-input run in fresh dirs
+    sessionize_backfill(spark, d, str(tmp_path / "ck_ref"),
+                        str(tmp_path / "out_ref"), EVENTS_SCHEMA,
+                        events_per_key_threshold=0.0)
+    n2 = spark.read.parquet(out).count()
+    n_ref = spark.read.parquet(str(tmp_path / "out_ref")).count()
+    assert n2 == n_ref
+    assert n2 > n1  # the grown input's sessions actually landed
+    # raw file-level view agrees (no duplicate leftovers either)
+    raw = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(os.path.join(out, "*.parquet"))],
+        ignore_index=True,
+    )
+    assert len(raw) == n_ref
