@@ -271,7 +271,26 @@ class UnkeyedEventLog:
         files = self._write_segment(self.read().coalesce(target_files), new_version)
         return self._swap_listing(m, files, m.get("schema"))
 
-    def expire_segments(self, keep_last: int = 2) -> int:
+    def _dir_age_s(self, seg_dir: str) -> float:
+        """Seconds since the NEWEST touch of ``seg_dir`` or any direct
+        child — the writer-liveness signal for orphan reaping. A parquet
+        write lands task files (and their renames touch the dir), so an
+        in-flight append keeps this young regardless of how far the
+        version counter has advanced."""
+        newest = self.fs.mtime(seg_dir)
+        try:
+            for f in self.fs.listdir(seg_dir):
+                newest = max(newest, self.fs.mtime(os.path.join(seg_dir, f)))
+        except FileNotFoundError:
+            pass  # a concurrent expire reaped it between list and stat
+        return time.time() - newest
+
+    def expire_segments(
+        self,
+        keep_last: int = 2,
+        orphan_min_age_s: float = 900.0,
+        max_attempts: int = 20,
+    ) -> int:
         """Reap retired segment dirs whose swap happened more than
         ``keep_last`` versions ago (LakeTable.expire_snapshots analog):
         any reader that planned against a retained listing has finished
@@ -282,24 +301,40 @@ class UnkeyedEventLog:
         orphans would otherwise accumulate forever. Returns the number
         of dirs removed.
 
-        Orphan reaping is TWO-PHASE (observe, then reap once the log
-        has advanced ``keep_last`` versions past the observation):
-        an in-flight append writes its segment BEFORE the metadata
-        commit — and keeps its original dir name while rebasing through
-        commit retries — so an unlisted dir seen ONCE may still commit.
-        A dir unlisted across a ``keep_last``-version window is dead
-        under the same timing assumption the retired retention already
-        makes for readers."""
+        Orphan reaping requires BOTH (ADVICE r6 — version distance
+        alone is not a liveness proxy when concurrent dispatch can
+        advance the version arbitrarily fast past a large in-flight
+        write):
+
+        * TWO-PHASE version distance — observe the unlisted dir, reap
+          only once the log has advanced ``keep_last`` versions past
+          the observation (an in-flight append writes its segment
+          BEFORE the metadata commit and keeps its dir name while
+          rebasing through commit retries, so a dir seen once may
+          still commit);
+        * WALL-CLOCK age — the dir (and every file in it) untouched
+          for at least ``orphan_min_age_s``. A writer still laying
+          down parquet files, or parked in its commit-retry backoff,
+          keeps the mtime young no matter how many rivals commit
+          meanwhile. The default horizon is deliberately generous;
+          deployments where a single segment write can exceed it (huge
+          epochs on slow stores) should raise it — orphans are only a
+          disk-space leak, never a correctness issue, so erring on
+          KEEP is free.
+
+        The bookkeeping commit rebases and retries like ``append`` —
+        concurrent appenders advancing the version must not make
+        maintenance fail spuriously after dirs were already removed."""
         m = self.meta()
         cutoff = m["version"] - keep_last
-        keep, removed = [], 0
+        removed = 0
+        reaped_dirs: set[str] = set()
         retired_dirs = {r["dir"] for r in m.get("retired", [])}
         for r in m.get("retired", []):
             if r["at_version"] <= cutoff:
                 self.fs.rmtree(os.path.join(self.path, r["dir"]))
+                reaped_dirs.add(r["dir"])
                 removed += 1
-            else:
-                keep.append(r)
         live = {f.split(os.sep, 1)[0] for f in m["files"]}
         seen = dict(m.get("orphans_seen", {}))
         new_seen: dict[str, int] = {}
@@ -309,18 +344,56 @@ class UnkeyedEventLog:
             if not self.fs.isdir(os.path.join(self.path, d)):
                 continue
             observed_at = seen.get(d)
-            if observed_at is not None and observed_at <= cutoff:
+            if (
+                observed_at is not None
+                and observed_at <= cutoff
+                and self._dir_age_s(os.path.join(self.path, d))
+                >= orphan_min_age_s
+            ):
                 self.fs.rmtree(os.path.join(self.path, d))
+                reaped_dirs.add(d)
                 removed += 1
             else:
                 new_seen[d] = m["version"] if observed_at is None else observed_at
-        if removed or new_seen != seen:
+        if not (removed or new_seen != seen):
+            return removed
+        keep = [r for r in m.get("retired", []) if r["dir"] not in reaped_dirs]
+        for _attempt in range(max_attempts):
             m2 = dict(m)
             m2["version"] = m["version"] + 1
             m2["retired"] = keep
             m2["orphans_seen"] = new_seen
-            self._write_version(m2)
-        return removed
+            try:
+                self._write_version(m2)
+                return removed
+            except FileExistsError:
+                time.sleep(0.001 * (_attempt + 1))
+                m = self.meta()  # lost the version race: rebase
+                keep = [
+                    r
+                    for r in m.get("retired", [])
+                    if r["dir"] not in reaped_dirs
+                ]
+                fresh_seen = dict(m.get("orphans_seen", {}))
+                live = {f.split(os.sep, 1)[0] for f in m["files"]}
+                kept_dirs = {r["dir"] for r in keep}
+                merged: dict[str, int] = {}
+                for d in set(fresh_seen) | set(new_seen):
+                    # a dir we reaped, or that COMMITTED meanwhile
+                    # (now live/retired), leaves the watch list; a dir
+                    # both we and a rival expire observed keeps its
+                    # EARLIEST observation version
+                    if d in reaped_dirs or d in live or d in kept_dirs:
+                        continue
+                    merged[d] = min(
+                        fresh_seen.get(d, new_seen.get(d, m["version"])),
+                        new_seen.get(d, fresh_seen.get(d, m["version"])),
+                    )
+                new_seen = merged
+        raise RuntimeError(
+            f"expire_segments on {self.path} lost the commit race"
+            f" {max_attempts} times (dirs already removed: {removed})"
+        )
 
     # ----------------------------------------------------------- read
     def read(self) -> DataFrame:

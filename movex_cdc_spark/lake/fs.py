@@ -64,6 +64,13 @@ class LocalFS:
         """Cluster mapping: listStatus (HDFS), LIST prefix (S3)."""
         return os.listdir(path)
 
+    def mtime(self, path: str) -> float:
+        """Last-modification wall-clock (epoch seconds). Cluster
+        mapping: FileStatus.getModificationTime (HDFS), LastModified
+        (S3). Used as a WRITER-LIVENESS signal (orphan reaping), so it
+        only needs coarse accuracy, not atomicity."""
+        return os.path.getmtime(path)
+
     def walk(self, path: str) -> Iterator[tuple[str, list[str], list[str]]]:
         return os.walk(path)
 
@@ -166,6 +173,10 @@ class HadoopFS:
             s.getPath().getName() for s in fs.listStatus(self._p(path))
         ]
 
+    def mtime(self, path: str) -> float:
+        fs = self._fs(path)
+        return fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
+
     def walk(self, path: str) -> Iterator[tuple[str, list[str], list[str]]]:
         fs = self._fs(path)
         if not fs.exists(self._p(path)):
@@ -195,25 +206,51 @@ class HadoopFS:
 
     @staticmethod
     def _is_already_exists(e: Exception) -> bool:
-        """Classify the wrapped Java exception by CLASS, not message
-        text: an unrelated failure whose message merely contains
-        'already exists' (e.g. a parent-path error) must NOT be
-        swallowed as a commit conflict, and a differently-worded
-        FileAlreadyExistsException must still map to FileExistsError.
-        Walks the Java cause chain because some FS impls wrap the raw
-        exception (bounded — cause chains can self-reference)."""
+        """Classify the wrapped Java exception as a commit-race loss
+        (→ FileExistsError) primarily by CLASS, walking the cause chain
+        (bounded — cause chains can self-reference): an unrelated
+        failure whose message merely contains 'already exists' (e.g. a
+        parent-path error) must NOT be swallowed as a commit conflict.
+
+        Two narrow fallbacks (ADVICE r6) so a benign race loser does
+        not become a hard failure: an HDFS RemoteException the client
+        did not unwrap carries the server-side class in getClassName();
+        and connectors that raise a PLAIN java.io.IOException are
+        accepted on an explicit 'already exists' marker — only on the
+        innermost cause, only for that exact class, so a typed
+        non-conflict failure can never match."""
         je = getattr(e, "java_exception", None)
+        innermost = None
         for _ in range(8):
             if je is None:
-                return False
+                break
             name = je.getClass().getName()
             if name in (
                 "org.apache.hadoop.fs.FileAlreadyExistsException",
                 "java.nio.file.FileAlreadyExistsException",
-                "java.io.FileAlreadyExistsException",
             ):
                 return True
+            if name == "org.apache.hadoop.ipc.RemoteException":
+                try:
+                    if str(je.getClassName()).endswith(
+                        "FileAlreadyExistsException"
+                    ):
+                        return True
+                except Exception:
+                    pass
+            innermost = je
             je = je.getCause()
+        if innermost is not None:
+            try:
+                msg = innermost.getMessage()
+            except Exception:
+                msg = None
+            if (
+                innermost.getClass().getName() == "java.io.IOException"
+                and msg
+                and "already exists" in str(msg).lower()
+            ):
+                return True
         return False
 
     def create_exclusive_text(self, path: str, text: str) -> None:

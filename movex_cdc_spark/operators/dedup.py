@@ -417,13 +417,24 @@ def ngram_jaccard_pregated(
     The shingle pass — the dominant per-doc cost — runs ONCE: the
     shingled frame is persisted and threaded through both the LSH
     candidate stage and the verify joins (previously each of the three
-    consumers re-tokenized the full corpus). The cache is reclaimed by
-    the ContextCleaner once the returned plan is released."""
+    consumers re-tokenized the full corpus). The verified-pair result
+    (tiny vs the corpus) is materialized eagerly via localCheckpoint so
+    the corpus-sized shingle cache can be unpersisted HERE instead of
+    lingering until driver GC (ADVICE r6) — repeated invocations in a
+    long-lived session no longer accumulate cached corpora."""
     shingled = (
         with_shingles(df, n)
         .select(id_col, "shingles")
         .filter(F.size("shingles") > 0)
         .persist()
     )
-    cand = minhash_lsh_pairs(shingled, k=k, rows_per_band=rows_per_band, n=n, id_col=id_col)
-    return jaccard_verify_pairs(shingled, cand, n=n, threshold=threshold, id_col=id_col)
+    try:
+        cand = minhash_lsh_pairs(
+            shingled, k=k, rows_per_band=rows_per_band, n=n, id_col=id_col
+        )
+        verified = jaccard_verify_pairs(
+            shingled, cand, n=n, threshold=threshold, id_col=id_col
+        )
+        return verified.localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()

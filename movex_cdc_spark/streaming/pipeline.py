@@ -16,6 +16,7 @@ checkpoint's offset log (ST11).
 
 from __future__ import annotations
 
+from collections import deque
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,13 @@ from movex_cdc_spark.sources.events import (
     read_events_stream,
 )
 from movex_cdc_spark.streaming.lineage import MetricsTable
+
+#: Driver-side epoch-lineage retention (VERDICT r6 item 4): the
+#: in-memory ``epochs`` window is a convenience for tests and the
+#: status surface, NOT the durable record (that's MetricsTable). On a
+#: long-lived ``processing_time`` trigger an unbounded list is a slow
+#: O(epochs) driver leak, so both pipelines keep a bounded deque.
+EPOCH_HISTORY = 1024
 
 
 class CdcStreamPipeline:
@@ -105,7 +113,9 @@ class CdcStreamPipeline:
         # every validated event is produced as an envelope, pre-LWW,
         # exactly like the reference's Kafka producer
         self.envelope_sink = envelope_sink
-        self.epochs: list[dict[str, Any]] = []  # this run's lineage records
+        # bounded lineage window (newest EPOCH_HISTORY records); the
+        # durable copy is MetricsTable
+        self.epochs: deque[dict[str, Any]] = deque(maxlen=EPOCH_HISTORY)
         self._envelope_dl = None  # lazy; one instance, not one per epoch
 
     def set_config(self, config) -> None:
@@ -167,7 +177,11 @@ class CdcStreamPipeline:
             sink_lin = self.envelope_sink.emit(
                 valid, stream_id=self.stream_id, epoch_id=epoch_id
             )
-            if sink_lin.get("rejected_df") is not None and self.dead_letter is not None:
+            # pop UNCONDITIONALLY: with no dead-letter configured the
+            # record must not keep the rejected DataFrame (and its plan
+            # + checkpointed blocks) alive in driver memory
+            rejected_df = sink_lin.pop("rejected_df", None)
+            if rejected_df is not None and self.dead_letter is not None:
                 # envelope-shaped rejects get their own quarantine dir —
                 # mixing them into the event-shaped dead letters would
                 # corrupt that table's read schema. Constructed once and
@@ -178,7 +192,7 @@ class CdcStreamPipeline:
                         self.spark, self.dead_letter.path + "_envelope", fs=self.fs
                     )
                 self._envelope_dl.append(
-                    sink_lin.pop("rejected_df"),
+                    rejected_df,
                     stream_id=f"{self.stream_id}-sink",
                     epoch_id=epoch_id,
                 )
@@ -241,7 +255,7 @@ class CdcStreamPipeline:
             self.metrics.flush()  # drain the buffered lineage window
         if q.exception():
             raise q.exception()
-        return self.epochs
+        return list(self.epochs)
 
 
 class MultiplexedCdcPipeline:
@@ -323,7 +337,9 @@ class MultiplexedCdcPipeline:
         # UnkeyedEventLog.append). Measured: 8 tables × tiny epochs run
         # ~3× faster dispatched concurrently (bench.py --mux-ab).
         self.dispatch_parallelism = dispatch_parallelism
-        self.epochs: list[dict[str, Any]] = []
+        # bounded lineage window (newest EPOCH_HISTORY records); the
+        # durable copy is MetricsTable
+        self.epochs: deque[dict[str, Any]] = deque(maxlen=EPOCH_HISTORY)
         self._fs = fs
         # strays keep their own quarantine dir: they are queue-shaped
         # (payload + table_name), not event-shaped — mixing them into
@@ -468,4 +484,4 @@ class MultiplexedCdcPipeline:
             self.metrics.flush()
         if q.exception():
             raise q.exception()
-        return self.epochs
+        return list(self.epochs)

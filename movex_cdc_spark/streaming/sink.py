@@ -416,10 +416,15 @@ class KafkaEnvelopeWriter:
         env_batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             wire, rejected = self.kafka_frames(env_batch)
-            # count + produce off one cached envelope input: the count
-            # is a deliberate separate action (an Observation riding a
-            # kafka write does not fire inside foreachBatch — see
-            # spark-engine notes on observation delivery)
+            # materialize the (small) rejected slice ONCE off the cached
+            # envelope input before that cache is dropped in the finally
+            # block — otherwise the caller's dead-letter append would
+            # recompute the full envelope build + validation for the
+            # rejected rows on every rejecting epoch (ADVICE r6). An
+            # eager localCheckpoint doubles as the count action (an
+            # Observation riding a kafka write does not fire inside
+            # foreachBatch — see spark-engine notes).
+            rejected = rejected.localCheckpoint(eager=True)
             n_rejected = rejected.count()
             self.writer(wire).save()
             return {

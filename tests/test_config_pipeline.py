@@ -362,8 +362,16 @@ def test_expire_segments_reaps_fenced_orphans(spark, tmp_path):
     # the log advances past the retention horizon
     log.append(df, stream_id="s", epoch_id=1)
     log.append(df, stream_id="s", epoch_id=2)
-    # phase 2: still unlisted after keep_last more versions -> reaped
-    assert log.expire_segments(keep_last=1) == 1
+    # ADVICE r6 (medium): version distance alone is NOT writer
+    # liveness — concurrent dispatch can advance the version past
+    # keep_last while a large segment is still being written. With the
+    # default wall-clock horizon the (young) orphan must SURVIVE even
+    # though it cleared the two-phase version window.
+    assert log.expire_segments(keep_last=1) == 0
+    assert os.path.isdir(orphan_dir)
+    # phase 2: unlisted across the version window AND older than the
+    # age horizon -> reaped
+    assert log.expire_segments(keep_last=1, orphan_min_age_s=0.0) == 1
     assert not os.path.isdir(orphan_dir)
     # committed data untouched
     assert log.read().count() == 15
