@@ -378,6 +378,138 @@ def run_state_store_ab(workdir: str, n_events: int, n_users: int) -> dict:
     return out
 
 
+def _stage_docs(spark, workdir: str, stack: int) -> str:
+    """documents stacked ``stack``× with per-copy salted text (the r5
+    boundedness harness: realistic candidate structure, not exact
+    clones). Staged once, reused."""
+    d = os.path.join(workdir, f"docs-x{stack}")
+    if not os.path.isdir(d):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        copies = [
+            docs.selectExpr(
+                f"doc_id + {i * 1_000_000} AS doc_id",
+                "text" if i == 0 else
+                f"concat(text, ' cpsalt{i} w', cast(doc_id % 89 AS string)) AS text",
+            )
+            for i in range(stack)
+        ]
+        stacked = copies[0]
+        for c in copies[1:]:
+            stacked = stacked.unionByName(c)
+        stacked.repartition(max(16, stack)).write.parquet(d + ".tmp")
+        os.rename(d + ".tmp", d)
+    return d
+
+
+def run_dedup_scale(spark, workdir: str, stacks=(10, 100)) -> dict:
+    """Dedup/ANN family at 100× documents (VERDICT r6 item 6): walls
+    for minhash-LSH candidates, LSH-then-verify exact Jaccard, and
+    connected components at each tier (x100 = 500k docs at sf0.1's 5k
+    base), plus the two checks the walls alone don't give:
+
+      * CC convergence — round count + changed-per-round trajectory
+        (bounded rounds ≈ cluster diameter, the scale guarantee);
+      * banding-probability check — measured LSH candidacy rate per
+        TRUE-jaccard bin vs the analytic P[candidate] = 1-(1-j^r)^b.
+        The reference pairs are the capped-exact operator's pair LIST
+        re-scored with FULL-shingle jaccard: the capped operator's own
+        score is a df-capped-subspace jaccard that overestimates true
+        similarity (measured here: pairs it scores 0.5 can be 0.08 in
+        full shingle space), but as a pair SAMPLE it is unbiased for
+        this check — given a pair's true j, minhash candidacy depends
+        on j alone, not on how the pair was found. Banding behaving as
+        predicted is what licenses extrapolating recall to corpus
+        sizes where no exact reference can exist.
+    """
+    from pyspark.sql import functions as F
+
+    from movex_cdc_spark.operators.dedup import (
+        connected_components,
+        duplicate_groups_from_pairs,
+        jaccard_verify_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pregated,
+    )
+
+    K, R = 8, 2
+    B = K // R
+    out: dict = {"k": K, "rows_per_band": R, "n_bands": B, "tiers": {}}
+    for stack in stacks:
+        df = spark.read.parquet(_stage_docs(spark, workdir, stack))
+        tier: dict = {"n_docs": df.count()}
+
+        t0 = time.monotonic()
+        cand = minhash_lsh_pairs(df, k=K, rows_per_band=R, n=3).persist()
+        tier["lsh_candidates"] = cand.count()
+        tier["lsh_wall_s"] = round(time.monotonic() - t0, 2)
+
+        t0 = time.monotonic()
+        verified = ngram_jaccard_pregated(
+            df, n=3, threshold=0.2, k=K, rows_per_band=R
+        ).persist()
+        tier["verified_pairs"] = verified.count()
+        tier["verify_wall_s"] = round(time.monotonic() - t0, 2)
+
+        t0 = time.monotonic()
+        cc_stats: dict = {}
+        labels = connected_components(verified, stats=cc_stats)
+        groups = duplicate_groups_from_pairs(verified)
+        tier["cc_components"] = labels.select("component").distinct().count()
+        tier["dup_groups"] = groups.count()
+        tier["cc_wall_s"] = round(time.monotonic() - t0, 2)
+        tier["cc_rounds"] = cc_stats.get("rounds")
+        tier["cc_changed_per_round"] = cc_stats.get("changed_per_round")
+
+        # pair sample (capped-exact pair list) re-scored with FULL
+        # jaccard -> measured candidacy per true-j bin vs 1-(1-j^r)^b
+        t0 = time.monotonic()
+        exact = ngram_jaccard_pairs(df, n=3, threshold=0.2, max_shingle_df=5)
+        sample = jaccard_verify_pairs(
+            df, exact.select("id_a", "id_b"), n=3, threshold=0.0
+        ).persist()
+        tier["sample_pairs"] = sample.count()
+        tier["sample_wall_s"] = round(time.monotonic() - t0, 2)
+        bins = (
+            sample.join(
+                cand.select("id_a", "id_b").withColumn("__hit", F.lit(1)),
+                ["id_a", "id_b"],
+                "left",
+            )
+            .groupBy(F.round(F.floor(F.col("jaccard") * 10) / 10, 1).alias("j_bin"))
+            .agg(
+                F.count(F.lit(1)).alias("sample_pairs"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("captured"),
+                F.avg("jaccard").alias("j_mean"),
+            )
+            .orderBy("j_bin")
+            .collect()
+        )
+        tier["banding_check"] = [
+            {
+                "j_bin": float(r["j_bin"]),
+                "sample_pairs": int(r["sample_pairs"]),
+                "measured_capture": round(int(r["captured"]) / int(r["sample_pairs"]), 3),
+                "predicted_capture": round(
+                    1 - (1 - float(r["j_mean"]) ** R) ** B, 3
+                ),
+            }
+            for r in bins
+        ]
+        cand.unpersist()
+        sample.unpersist()
+        verified.unpersist()
+        out["tiers"][f"x{stack}"] = tier
+    ts = [out["tiers"][f"x{s}"] for s in stacks]
+    if len(ts) == 2 and ts[0]["lsh_wall_s"]:
+        out["wall_ratio_for_10x_docs"] = {
+            "lsh": round(ts[1]["lsh_wall_s"] / ts[0]["lsh_wall_s"], 2),
+            "verify": round(ts[1]["verify_wall_s"] / ts[0]["verify_wall_s"], 2),
+            "cc": round(ts[1]["cc_wall_s"] / ts[0]["cc_wall_s"], 2),
+        }
+    return out
+
+
 def run_jaccard_ab(spark, workdir: str, stack: int = 10) -> dict:
     """Exact blocks-based n-gram Jaccard vs the minhash-pregated
     LSH-then-verify variant (VERDICT r5 item 7) on the 10×-stacked
@@ -394,23 +526,7 @@ def run_jaccard_ab(spark, workdir: str, stack: int = 10) -> dict:
         ngram_jaccard_pregated,
     )
 
-    d = os.path.join(workdir, f"docs-x{stack}")
-    if not os.path.isdir(d):
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
-        copies = [
-            docs.selectExpr(
-                f"doc_id + {i * 1_000_000} AS doc_id",
-                "text" if i == 0 else
-                f"concat(text, ' cpsalt{i} w', cast(doc_id % 89 AS string)) AS text",
-            )
-            for i in range(stack)
-        ]
-        stacked = copies[0]
-        for c in copies[1:]:
-            stacked = stacked.unionByName(c)
-        stacked.repartition(16).write.parquet(d + ".tmp")
-        os.rename(d + ".tmp", d)
-    df = spark.read.parquet(d)
+    df = spark.read.parquet(_stage_docs(spark, workdir, stack))
     n_docs = df.count()
     out: dict = {"n_docs": n_docs, "stack": stack}
 
@@ -509,7 +625,8 @@ def run_analytics_sfx(spark, workdir: str) -> dict:
 
 
 def run_mux_ab(spark, workdir: str, n_tables: int = 8,
-               events_per_table: int = 50_000, n_files: int = 8) -> dict:
+               events_per_table: int = 50_000, n_files: int = 8,
+               hot_share: float | None = None) -> dict:
     """ONE multiplexed streaming query vs N per-table queries at equal
     volume (the VERDICT r5 item-2 design claim, measured): same total
     events, same per-file trigger granularity. The multiplexed side
@@ -519,7 +636,17 @@ def run_mux_ab(spark, workdir: str, n_tables: int = 8,
     across N concurrently-running queries. Final states are asserted
     IDENTICAL per table before any wall is reported. Each side runs
     twice (first = warmup position); second walls are the comparison,
-    all recorded."""
+    all recorded.
+
+    ``hot_share`` (VERDICT r6 item 5 — the reference's real shape has
+    hot tables, transfer_thread.rb:239-242): route that fraction of ALL
+    events to table t0 and spread the rest uniformly. Total volume is
+    unchanged, so the uniform and skewed runs are comparable: the
+    question is whether concurrent dispatch degrades toward serial when
+    one table's merge dominates the epoch (the other N-1 finish early
+    and the epoch waits on t0 — whose own merge is still fully
+    parallel: the skew is across TABLES, and inside t0 the bucketed
+    merge + map-side-combining LWW spread the load across all cores)."""
     import copy
 
     from pyspark.sql import functions as F
@@ -535,7 +662,18 @@ def run_mux_ab(spark, workdir: str, n_tables: int = 8,
 
     names = [f"t{i}" for i in range(n_tables)]
     total = n_tables * events_per_table
-    base = os.path.join(workdir, f"muxab-{n_tables}x{events_per_table}")
+    skew_tag = f"-hot{int(hot_share * 100)}" if hot_share else ""
+    if hot_share:
+        # t0 takes hot_share of the stream; the remainder spreads
+        # uniformly over t1..t{n-1}
+        pct = int(hot_share * 100)
+        tbl_expr = (
+            f"CASE WHEN id % 100 < {pct} THEN 't0'"
+            f" ELSE concat('t', cast(1 + id % {n_tables - 1} AS string)) END AS tbl"
+        )
+    else:
+        tbl_expr = f"concat('t', cast(id % {n_tables} AS string)) AS tbl"
+    base = os.path.join(workdir, f"muxab-{n_tables}x{events_per_table}{skew_tag}")
     if not os.path.isdir(base):
         tmp = base + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -552,7 +690,7 @@ def run_mux_ab(spark, workdir: str, n_tables: int = 8,
             "cast(NULL AS string) AS old_content",
             "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id % 86400) AS ts",
             "cast(id AS long) AS txid",
-            f"concat('t', cast(id % {n_tables} AS string)) AS tbl",
+            tbl_expr,
         )
         to_multiplex_events(ev, F.col("tbl")).repartition(n_files).write.parquet(
             os.path.join(tmp, "mux")
@@ -612,7 +750,7 @@ def run_mux_ab(spark, workdir: str, n_tables: int = 8,
         return round(time.monotonic() - t0, 2), sinks, run_dir
 
     out: dict = {"n_tables": n_tables, "events_per_table": events_per_table,
-                 "n_files": n_files}
+                 "n_files": n_files, "hot_share": hot_share}
     mux_walls, per_walls = [], []
     keep: dict = {}
     for r in ("warm", "run"):
@@ -682,6 +820,93 @@ def run_cow_vs_mor(spark, workdir: str, n_events: int = 200_000, n_epochs: int =
     a = cow.read().select("repo", "path", "content_sha")
     b = mor.read().select("repo", "path", "content_sha")
     out["states_equal"] = (a.exceptAll(b).count() + b.exceptAll(a).count()) == 0
+    ev.unpersist()
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return out
+
+
+def run_mor_policy(spark, workdir: str, n_events: int = 200_000,
+                   n_epochs: int = 40, reads_every: int = 8) -> dict:
+    """WHEN-to-compact policy bench (VERDICT r6 item 8): the same
+    stream as many tiny epochs through MoR under different
+    ``compact_rows`` thresholds, vs eager COW. Total cost per policy =
+    write wall (appends + auto-compactions fired by the threshold) +
+    read wall (a consumer reads the resolved state every
+    ``reads_every`` epochs — the part a write-only bench hides: an
+    uncompacted delta makes EVERY read pay base ∪ delta LWW).
+    Policies are expressed as delta-rows thresholds in epochs-worth of
+    rows; states are asserted identical to COW before any wall counts.
+    The documented default falls out of this table: the threshold
+    whose total wall is lowest while keeping reads near the COW read
+    wall."""
+    from pyspark.sql import functions as F
+
+    from movex_cdc_spark.lake.mor import MergeOnReadTable
+    from movex_cdc_spark.lake.table import LakeTable
+    from movex_cdc_spark.operators.apply import KEY_COLS, REPO_FILES_SCHEMA, apply_batch
+    from movex_cdc_spark.sources.events import PAYLOAD_EVENTS_SCHEMA, parse_payload_events
+
+    stage, _ = _stage_cdc_input(workdir, n_events)
+    ev = parse_payload_events(
+        spark.read.schema(PAYLOAD_EVENTS_SCHEMA).parquet(os.path.join(stage, "events_json"))
+    ).persist()
+    ev.count()
+    rows_per_epoch = n_events // n_epochs
+    out: dict = {"n_events": n_events, "n_epochs": n_epochs,
+                 "rows_per_epoch": rows_per_epoch, "reads_every": reads_every,
+                 "policies": {}}
+
+    run_dir = os.path.join(workdir, "run-morpolicy")
+
+    def _drive(sink, tag: str) -> dict:
+        t_write = t_read = 0.0
+        n_compact = 0
+        for i in range(n_epochs):
+            t0 = time.monotonic()
+            lin = apply_batch(
+                sink, ev.filter(F.pmod(F.col("seq"), F.lit(n_epochs)) == i),
+                epoch_id=i,
+            )
+            t_write += time.monotonic() - t0
+            if lin.get("compaction"):
+                n_compact += 1
+            if (i + 1) % reads_every == 0:
+                t0 = time.monotonic()
+                sink.read().select(F.count(F.lit(1))).collect()
+                t_read += time.monotonic() - t0
+        return {"write_wall_s": round(t_write, 2), "read_wall_s": round(t_read, 2),
+                "total_wall_s": round(t_write + t_read, 2),
+                "auto_compactions": n_compact}
+
+    shutil.rmtree(run_dir, ignore_errors=True)
+    cow = LakeTable.create(spark, os.path.join(run_dir, "cow"),
+                           REPO_FILES_SCHEMA, KEY_COLS, n_buckets=32)
+    out["policies"]["cow"] = _drive(cow, "cow")
+    ref = cow.read().select("repo", "path", "content_sha").persist()
+    ref.count()
+
+    # thresholds in epochs-worth of delta rows; "never" defers the whole
+    # rewrite to one final compaction (the run_cow_vs_mor shape)
+    for label, epochs_worth in (("every_2_epochs", 2), ("every_5_epochs", 5),
+                                ("every_10_epochs", 10), ("never", None)):
+        base = LakeTable.create(spark, os.path.join(run_dir, f"base-{label}"),
+                                REPO_FILES_SCHEMA, KEY_COLS, n_buckets=32)
+        thr = 10**12 if epochs_worth is None else rows_per_epoch * epochs_worth
+        mor = MergeOnReadTable(base, os.path.join(run_dir, f"delta-{label}"),
+                               compact_rows=thr)
+        r = _drive(mor, label)
+        if epochs_worth is None:
+            t0 = time.monotonic()
+            mor.compact()
+            r["final_compact_wall_s"] = round(time.monotonic() - t0, 2)
+            r["total_wall_s"] = round(r["total_wall_s"] + r["final_compact_wall_s"], 2)
+        got = mor.read().select("repo", "path", "content_sha")
+        r["state_equals_cow"] = (
+            got.exceptAll(ref).count() + ref.exceptAll(got).count()
+        ) == 0
+        r["compact_rows_threshold"] = thr
+        out["policies"][label] = r
+    ref.unpersist()
     ev.unpersist()
     shutil.rmtree(run_dir, ignore_errors=True)
     return out
@@ -776,6 +1001,25 @@ def main() -> None:
                                        events_per_table=e)}))
         spark.stop()
         return
+    if "--mux-skew" in sys.argv:
+        spark = make_spark(CPUS)
+        t = int(os.environ.get("SPARK_GRAFT_MUX_TABLES", "8"))
+        e = int(os.environ.get("SPARK_GRAFT_MUX_EVENTS", "50000"))
+        hs = float(os.environ.get("SPARK_GRAFT_MUX_HOT_SHARE", "0.9"))
+        print(json.dumps({"metric": "multiplexed_dispatch_under_table_skew",
+                          "uniform": run_mux_ab(spark, workdir, n_tables=t,
+                                                events_per_table=e),
+                          "skewed": run_mux_ab(spark, workdir, n_tables=t,
+                                               events_per_table=e,
+                                               hot_share=hs)}))
+        spark.stop()
+        return
+    if "--dedup-scale" in sys.argv:
+        spark = make_spark(CPUS)
+        print(json.dumps({"metric": "dedup_family_scale_tiers",
+                          **run_dedup_scale(spark, workdir)}))
+        spark.stop()
+        return
     if "--state-store-ab" in sys.argv:
         n = int(os.environ.get("SPARK_GRAFT_SS_EVENTS", "10000000"))
         u = int(os.environ.get("SPARK_GRAFT_SS_USERS", "5000000"))
@@ -787,6 +1031,15 @@ def main() -> None:
         n = int(os.environ.get("SPARK_GRAFT_MOR_EVENTS", "200000"))
         print(json.dumps({"metric": "cow_vs_mor_tiny_epochs",
                           **run_cow_vs_mor(spark, workdir, n_events=n)}))
+        spark.stop()
+        return
+    if "--mor-policy" in sys.argv:
+        spark = make_spark(CPUS)
+        n = int(os.environ.get("SPARK_GRAFT_MOR_EVENTS", "200000"))
+        e = int(os.environ.get("SPARK_GRAFT_MOR_EPOCHS", "40"))
+        print(json.dumps({"metric": "mor_compaction_policy",
+                          **run_mor_policy(spark, workdir, n_events=n,
+                                           n_epochs=e)}))
         spark.stop()
         return
     os.makedirs(workdir, exist_ok=True)

@@ -202,7 +202,11 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    max_iter: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a candidate-pair graph — the dup-group
     election stage after LSH blocking (pairs → clusters → keeper).
@@ -238,6 +242,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed_per_round: list[int] = []
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -254,10 +259,16 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = stamped.filter(F.col("__changed")).count()
+        changed_per_round.append(changed)
         labels = stamped.drop("__changed")
         if changed == 0:
             break
     edges.unpersist()
+    if stats is not None:
+        # convergence evidence for scale benches: rounds ≈ cluster
+        # diameter, and the changed-count trajectory shows it
+        stats["rounds"] = len(changed_per_round)
+        stats["changed_per_round"] = changed_per_round
     return labels.select(F.col("id").alias(ID_COL), F.col("label").alias("component"))
 
 

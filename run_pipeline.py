@@ -74,6 +74,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="bootstrap.servers for --envelope-sink kafka")
     p.add_argument("--kafka-topic", default=None,
                    help="topic for --envelope-sink kafka")
+    p.add_argument("--status", action="store_true",
+                   help="print the consolidated health/status JSON "
+                        "(streaming/status.py — the /health_check/status "
+                        "analog) and exit without touching the pipeline")
     return p.parse_args(argv)
 
 
@@ -94,6 +98,27 @@ def main(argv: list[str] | None = None) -> int:
         from movex_cdc_spark.lake.fs import HadoopFS
 
         fs = HadoopFS(spark)
+
+    if args.status:
+        # read-only probe over what the pipeline already persists —
+        # safe to run WHILE a pipeline instance is live (it neither
+        # beats the heartbeat nor commits anything)
+        import json as _json
+
+        from movex_cdc_spark.streaming.status import engine_status
+
+        st = engine_status(
+            spark,
+            metrics_dir=args.metrics_dir,
+            table_dir=args.table_dir,
+            checkpoint_home=args.checkpoint_dir.rstrip("/") + "_home",
+            dead_letter_dir=args.dead_letter_dir,
+            events_dir=args.events_dir,
+            fs=fs,
+        )
+        print(_json.dumps(st, default=str, indent=2))
+        return 0
+
     try:
         table = LakeTable.load(spark, args.table_dir, fs=fs)
     except FileNotFoundError:
