@@ -25,12 +25,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries without a green DRIVER row yet run FIRST, so a driver-side
 # cap on the number of executed queries (observed: first 50) can never
-# rotate them out. The registry holds 68 entries: 50 inside the cap
-# plus the EIGHTEEN deliberate overflow rows in _DEPRIORITIZED below —
+# rotate them out. The registry holds 69 entries: 50 inside the cap
+# plus the NINETEEN deliberate overflow rows in _DEPRIORITIZED below —
 # adding a query means choosing another overflow row, not appending.
 _PRIORITY = [
     "cdc_kafka_redelivery_eos",    # NEW r7: end-to-end EOS under adversarial redelivery (VERDICT r6 item 1)
     "cdc_engine_status",           # NEW r7: ops health/status surface (VERDICT r6 item 3)
+    "text_interdoc_boilerplate",   # NEW r7: corpus-level template/boilerplate detection
     # r6's sixteen overflow rows, rotated back inside the window per
     # the rotation contract (VERDICT r6 item 2) — all multi-round
     # driver-green (r4+r5) and strict-gate-verified in r6 by builder
@@ -57,7 +58,7 @@ _PRIORITY = [
 # driver-green (green in BOTH the r5 and r6 driver sheets — none was
 # in r6's overflow set, and none of the r6-new single-sheet rows is
 # eligible), its operator family stays driver-verified by sibling rows
-# inside the window, and pytest covers all eighteen every round.
+# inside the window, and pytest covers all nineteen every round.
 # In-window siblings per overflow row:
 #   salted LWW / noop / per-key order -> cdc_lww_latest_state,
 #     window_topk_per_group, cdc_apply_final_state,
@@ -88,6 +89,11 @@ _PRIORITY = [
 # multi-round-green rows so no registered query goes more than one
 # round without a driver row.
 _DEPRIORITIZED = [
+    # text battery -> in-window siblings text_repetition_rules,
+    # text_interdoc_boilerplate, tfidf_top_terms (multi-round green:
+    # driver sheets r5 + r6; added when text_interdoc_boilerplate
+    # took its window slot)
+    "text_analysis_battery",
     "cdc_salted_lww_two_phase",
     "cdc_noop_suppression",
     "cdc_retry_backoff_eligible",

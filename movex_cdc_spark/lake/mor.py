@@ -52,7 +52,23 @@ class MergeOnReadTable:
         delta_path: str,
         compact_rows: int = 1_000_000,
         expire_keep_last: int = 8,
+        compact_epochs: int | None = None,
     ):
+        """``compact_rows`` bounds the delta in ROWS; ``compact_epochs``
+        additionally bounds it in APPENDED EPOCHS — compaction fires
+        when either threshold is reached.
+
+        WHEN-to-compact, measured (bench.py --mor-policy, 40×5k-row
+        epochs with a consumer read every 8, BENCH_SCALING.md r7):
+        total wall write+read was COW 143.6s / every-2-epochs 67.3s /
+        **every-5-epochs 48.5s** / every-10 60.0s / never-until-the-end
+        75.2s, all states identical. Too-eager compaction re-pays the
+        bucket rewrite; too-lazy makes every read re-LWW a fat delta
+        AND makes each (rarer) compaction rewrite more. For deployments
+        whose consumers read between epochs, ``compact_epochs=5`` is
+        the measured sweet spot; a pure write-behind sink (reads only
+        after the stream drains) should keep the row bound alone and
+        let the final compact amortize."""
         self.base = base
         self.spark = base.spark
         # the delta log lives next to the base table: same fs seam
@@ -63,6 +79,7 @@ class MergeOnReadTable:
             # propagate rather than silently shadowing buffered changes
             self.delta = UnkeyedEventLog.create(self.spark, delta_path, fs=base.fs)
         self.compact_rows = compact_rows
+        self.compact_epochs = compact_epochs
         # reader-retention window for drained delta segments, in delta
         # METADATA VERSIONS (each epoch advances two: append + counter);
         # widen for deployments with slow concurrent readers
@@ -120,10 +137,14 @@ class MergeOnReadTable:
         # swap like every commit; the count came free off the write job)
         m = self.delta.meta()
         m["rows"] = int(m.get("rows", 0)) + int(obs.get.get("n", 0))
+        m["delta_epochs"] = int(m.get("delta_epochs", 0)) + 1
         self._rewrite_meta(m)
         lineage["delta_rows"] = m["rows"]
         lineage["mode"] = "delta-append"
-        if m["rows"] >= self.compact_rows:
+        if m["rows"] >= self.compact_rows or (
+            self.compact_epochs is not None
+            and m["delta_epochs"] >= self.compact_epochs
+        ):
             lineage["compaction"] = self.compact()
         return lineage
 
@@ -208,7 +229,9 @@ class MergeOnReadTable:
         # commit) and reaped past the configured retention window —
         # without the retired record they would leak on disk forever.
         m = self.delta.meta()
-        self.delta._swap_listing(m, [], m.get("schema"), extra={"rows": 0})
+        self.delta._swap_listing(
+            m, [], m.get("schema"), extra={"rows": 0, "delta_epochs": 0}
+        )
         lin["segments_expired"] = self.delta.expire_segments(
             keep_last=self.expire_keep_last
         )

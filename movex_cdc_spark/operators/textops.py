@@ -204,3 +204,69 @@ def repetition_stats(
             & (F.col("dup_3gram_frac") <= keep_dup_3gram)
         ).cast("int").alias("keep"),
     )
+
+
+def interdoc_boilerplate(
+    df: DataFrame,
+    n: int = 3,
+    min_df: int = 3,
+    max_frac: float = 0.5,
+    id_col: str = ID_COL,
+    text_col: str = TEXT_COL,
+) -> DataFrame:
+    """INTER-document boilerplate detection (public CCNet/Dolma-style
+    corpus-level repetition): per doc, the fraction of its DISTINCT
+    word n-grams that occur in >= ``min_df`` documents corpus-wide.
+    Template pages, boilerplate footers, and near-copies of common
+    content score high; ``repetition_stats`` (the INTRA-document
+    Gopher rules) cannot see them — a page that is one clean copy of a
+    10,000×-duplicated template has zero internal repetition.
+
+    Scale shape (the 100-TB plan): grams are hashed to a 16-hex key
+    BEFORE the shuffle (sha2 prefix — deterministic, oracle-matchable),
+    so the two gram-keyed exchanges move 16-byte keys, not n-word
+    strings. Stages: explode distinct grams -> groupBy(gram) df count
+    (map-side combine; output bounded by distinct-gram count) ->
+    gram-keyed equi-join back (AQE reuses the agg's partitioning) ->
+    groupBy(doc) fraction. Every term is O(total grams); nothing is
+    pairwise. Short docs (< n tokens) have zero grams and keep=1 by
+    definition (explode_outer keeps them in the frame)."""
+    from movex_cdc_spark.functions.ngrams import distinct_word_ngrams
+
+    grams = (
+        df.withColumn("w", F.split(F.col(text_col), " "))
+        .select(
+            id_col,
+            F.explode_outer(F.expr(distinct_word_ngrams("w", n))).alias("gram"),
+        )
+        .select(
+            id_col,
+            F.when(
+                F.col("gram").isNotNull(), F.substring(F.sha2("gram", 256), 1, 16)
+            ).alias("g"),
+        )
+    )
+    dfreq = (
+        grams.filter(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    frac = F.when(
+        F.col("n_grams") == 0, F.lit(0.0)
+    ).otherwise(F.round(F.col("n_common") / F.col("n_grams"), 6))
+    return (
+        grams.join(dfreq, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.count("df").alias("n_common"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_common",
+            frac.alias("boiler_frac"),
+            (frac <= max_frac).cast("int").alias("keep"),
+        )
+    )

@@ -2839,6 +2839,61 @@ def text_repetition_rules(spark, sf_dir):
     return repetition_stats(load(spark, sf_dir, "documents"))
 
 
+_BOILER_TPL = (
+    "all rights reserved contact us terms of service privacy policy applies"
+)
+
+
+@register(
+    "text_interdoc_boilerplate",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN '{_BOILER_TPL}' ELSE text END AS text
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+    g AS (SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                      for i in range(1, greatest(len(w)-2, 0)+1)]) END AS grams
+          FROM toks),
+    ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    dfreq AS (SELECT gram, count(*) AS df FROM ex GROUP BY 1),
+    per AS (SELECT e.doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+            FROM ex e JOIN dfreq f USING (gram) GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_common, 0) AS n_common,
+           CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+                ELSE round(p.n_common / p.n_grams, 6) END AS boiler_frac,
+           CAST(CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 1
+                     WHEN round(p.n_common / p.n_grams, 6) <= 0.5 THEN 1
+                     ELSE 0 END AS INT) AS keep
+    FROM d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def text_interdoc_boilerplate(spark, sf_dir):
+    """INTER-document boilerplate (corpus-level repetition — the
+    template/footer class the intra-doc Gopher rules can't see): per
+    doc, the fraction of its distinct 3-grams occurring in >= 3 docs
+    corpus-wide; every 7th doc is replaced by a fixed template string
+    so a provably-boilerplate population exists (frac 1.0, keep=0).
+    Grams are hashed to 16-hex keys before the shuffle — the exchanges
+    move fixed-width keys, not n-word strings; both gram-keyed stages
+    are map-side-combining and O(total grams)
+    (operators/textops.interdoc_boilerplate docstring)."""
+    from movex_cdc_spark.operators.textops import interdoc_boilerplate
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_BOILER_TPL))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return interdoc_boilerplate(docs, n=3, min_df=3, max_frac=0.5)
+
+
 @register(
     "curation_pii_scrub",
     r"""

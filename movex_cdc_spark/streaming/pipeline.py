@@ -354,6 +354,84 @@ class MultiplexedCdcPipeline:
             raise ValueError(f"no sink for configured tables: {missing}")
         self.config = config
 
+    def reprocess_strays(self) -> dict[str, Any]:
+        """Operator-initiated requeue of dispatch-quarantined rows
+        (reference: POST /server_control/reprocess_final_errors,
+        server_control_controller.rb:103-170 — the table-scoped
+        requeue). The canonical heal: rows were quarantined because
+        their table tag was unconfigured when they arrived; the
+        operator registers the table (set_config) and reprocesses —
+        rows whose tag is NOW configured re-dispatch through that
+        table's normal config chain and sink, the rest (still-stray
+        and NULL-tag rows) stay quarantined.
+
+        Exactly-once across a crash between the sink applies and the
+        quarantine rewrite: each table's apply fences on
+        (stream_id=":reprocess", epoch_id=quarantine-log-version) in
+        ITS OWN sink metadata, so a re-run of the same call no-ops the
+        already-applied tables and only the rewrite re-runs."""
+        from movex_cdc_spark.sources.events import parse_payload_events
+
+        if self._dispatch_dl is None:
+            if self.dead_letter is None:
+                return {"reprocessed": 0, "remaining": 0, "tables": []}
+            self._dispatch_dl = DeadLetterTable(
+                self.spark, self.dead_letter.path + "_dispatch", fs=self._fs
+            )
+        df = self._dispatch_dl.read()
+        if df is None:
+            return {"reprocessed": 0, "remaining": 0, "tables": []}
+        token = int(self._dispatch_dl.log.meta()["version"])
+        # bounded probe: distinct tags <= configured tables + strays
+        present = {
+            r["table_name"] for r in df.select("table_name").distinct().collect()
+        }
+        healable = sorted(t for t in present if t in self.config.tables and t is not None)
+        # one aggregate for all decision counts, taken BEFORE the
+        # listing swap below invalidates this read's lineage (same
+        # count-before-swap rule as RetryWorker.readmit)
+        heal_pred = (
+            F.col("table_name").isin(healable) if healable else F.lit(False)
+        )
+        counts = df.agg(
+            F.sum(F.when(heal_pred, 1).otherwise(0)).alias("heal"),
+            F.sum(F.when(~F.coalesce(heal_pred, F.lit(False)), 1).otherwise(0)).alias("stay"),
+        ).first()
+        n_reprocessed = int(counts["heal"] or 0)
+        n_remaining = int(counts["stay"] or 0)
+        for name in healable:
+            cfg = self.config.tables[name]
+            sub = parse_payload_events(df.filter(F.col("table_name") == name))
+            stream = f"{self.stream_id}:{name}:reprocess"
+            if cfg.key_handling == "N":
+                apply_batch_unkeyed(
+                    self.sinks[name], sub, epoch_id=token, stream_id=stream,
+                    table_cfg=cfg, dead_letter=self.dead_letter,
+                )
+            else:
+                apply_batch(
+                    self.sinks[name], sub, epoch_id=token, stream_id=stream,
+                    salted=self.salted, dead_letter=self.dead_letter,
+                    metrics=self.metrics, table_cfg=cfg,
+                )
+        # NULL-tag rows must survive the rewrite: NULL.isin(...) is
+        # NULL, and ~NULL filters the row out — an untagged row would
+        # silently vanish from quarantine
+        remaining = (
+            df.filter(
+                F.col("table_name").isNull()
+                | ~F.col("table_name").isin(healable)
+            )
+            if healable
+            else df
+        )
+        self._dispatch_dl.replace(remaining)
+        return {
+            "reprocessed": n_reprocessed,
+            "remaining": n_remaining,
+            "tables": healable,
+        }
+
     def _apply(self, batch_df, epoch_id: int) -> None:
         from pyspark import StorageLevel
 

@@ -4,24 +4,87 @@ Reference flow: failed events stay queued with Retry_Count++ and an
 exponential backoff gate (start_delay * 3^(retry-1)); after
 error_max_retries they move to Event_Log_Final_Errors
 (transfer_thread.rb:358-371,468-491; config application.rb:251-252).
+Operators can later push final errors BACK into processing once the
+root cause is fixed (POST /server_control/reprocess_final_errors,
+server_control_controller.rb:103-170) — each row re-enters the queue
+with a fresh retry budget.
 
 Spark flow: poison rows land in the dead-letter table at retry_count=0.
 Each `readmit` pass takes the backoff-eligible rows, re-validates them,
 applies the now-valid ones through the normal merge path, and rewrites
 the dead-letter table with retry_count+1 on the still-poison ones —
-rows beyond max_retries are moved to the final-errors table.
+rows beyond max_retries are moved to the final-errors store.
+
+The final-errors store is an epoch-fenced UnkeyedEventLog, NOT a plain
+``mode("append")`` parquet dir: readmit appends exhausted rows fenced
+on the dead-letter log's version, so a pass that crashes between the
+final-errors append and the dead-letter rewrite re-runs without
+duplicating rows in the final store (the rerun reads the same
+dead-letter version -> the same fence token -> the append no-ops).
+
+``reprocess_final_errors`` is the operator-initiated requeue. Deviation
+from the reference, documented: the reference re-INSERTs into the
+Event_Logs queue table inside a DB transaction; this engine's inbound
+queue is a plain directory with no commit protocol, so requeue goes
+through the dead-letter store (same retry machinery, retry_count reset
+to 0 = immediately eligible) — the fenced append + listing swap give
+the INSERT-and-DELETE transactionality the reference gets from Oracle.
 """
 
 from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movex_cdc_spark.lake.table import LakeTable
 from movex_cdc_spark.operators.apply import DeadLetterTable, apply_batch
 from movex_cdc_spark.sources.events import EVENT_COLS
+
+
+class FinalErrorsTable:
+    """Epoch-fenced store for retry-exhausted rows (reference:
+    Event_Log_Final_Errors, db/migrate/*create_event_log_final_errors*).
+    Thin wrapper over UnkeyedEventLog: fenced append (idempotent across
+    a crashed readmit pass re-run), atomic listing swap for the
+    reprocess rewrite, metadata-listing read."""
+
+    def __init__(self, spark: SparkSession, path: str, fs=None):
+        from movex_cdc_spark.lake.append_log import UnkeyedEventLog
+        from movex_cdc_spark.lake.fs import DEFAULT_FS
+
+        self.spark = spark
+        self.path = path
+        fs = fs or DEFAULT_FS
+        try:
+            self.log = UnkeyedEventLog.load(spark, path, fs=fs)
+        except FileNotFoundError:
+            if fs.isdir(path) and any(
+                f.endswith(".parquet") for f in fs.listdir(path)
+            ):
+                raise ValueError(
+                    f"{path} holds parquet files but no log metadata — "
+                    "not re-initializing over existing final-error data"
+                )
+            self.log = UnkeyedEventLog.create(spark, path, fs=fs)
+
+    def append(self, df: DataFrame, fence_token: int) -> bool:
+        """Append exhausted rows, fenced on the CALLER's monotone token
+        (readmit uses the dead-letter log version at pass start).
+        Returns False when the token was already committed — the
+        crashed-pass re-run case."""
+        lineage = self.log.append(df, stream_id="final", epoch_id=fence_token)
+        return not lineage.get("skipped")
+
+    def replace(self, df: DataFrame) -> None:
+        self.log.replace(df)
+
+    def read(self) -> DataFrame | None:
+        df = self.log.read()
+        if not df.columns:
+            return None
+        return df
 
 
 class RetryWorker:
@@ -38,6 +101,7 @@ class RetryWorker:
         self.table = table
         self.dl = dead_letter
         self.final_errors_dir = final_errors_dir
+        self.final = FinalErrorsTable(spark, final_errors_dir, fs=self.dl.log.fs)
         self.max_retries = max_retries
         self.start_delay_s = start_delay_s
 
@@ -45,6 +109,12 @@ class RetryWorker:
         df = self.dl.read()
         if df is None:
             return {"eligible": 0}
+        # the fence token for this pass's final-errors append: the
+        # dead-letter log version BEFORE the rewrite. Monotone across
+        # passes (the rewrite bumps it); stable across a crashed pass's
+        # re-run (the rewrite never happened), so the re-run's append
+        # fences to a no-op instead of duplicating final rows.
+        dl_version = int(self.dl.log.meta()["version"])
         # Pin ONE wall-clock instant for the whole pass. readmit runs up
         # to four Spark actions (counts agg, heal merge, exhausted write,
         # dl.replace rewrite); F.current_timestamp() is re-evaluated per
@@ -95,10 +165,9 @@ class RetryWorker:
             .withColumn("last_error_time", F.lit(now))
         )
         if n_final:
-            (
-                exhausted.withColumn("error_time", F.lit(now))
-                .write.mode("append")
-                .parquet(self.final_errors_dir)
+            self.final.append(
+                exhausted.withColumn("error_time", F.lit(now)),
+                fence_token=dl_version,
             )
 
         # rewrite the dead-letter table = waiting ∪ retrying, through
@@ -111,8 +180,53 @@ class RetryWorker:
             "final_errors": n_final,
         }
 
-    def final_errors(self):
-        try:
-            return self.spark.read.parquet(self.final_errors_dir)
-        except Exception:
-            return None
+    def final_errors(self) -> DataFrame | None:
+        return self.final.read()
+
+    def reprocess_final_errors(self, where: str | None = None) -> dict[str, Any]:
+        """Operator-initiated requeue of final errors (reference:
+        POST /server_control/reprocess_final_errors,
+        server_control_controller.rb:103-170 — re-INSERT into Event_Logs
+        with a fresh retry budget, DELETE from final errors, per
+        schema/table scope).
+
+        ``where`` is an optional SQL predicate selecting which final
+        rows to requeue (the reference's schema/table scope generalized
+        — e.g. ``"op = 'I'"`` or ``"error_time < timestamp'...'"``);
+        default all.
+
+        Selected rows return to the dead-letter store with
+        retry_count=0 (immediately eligible for the next readmit pass,
+        which re-validates them under the CURRENT config) and are
+        removed from the final store. Exactly-once across a crash
+        between the two commits: the dead-letter append fences on the
+        final log's version, so a re-run of the same call re-reads the
+        same version, the append no-ops, and only the removal re-runs.
+        """
+        df = self.final.read()
+        if df is None:
+            return {"reprocessed": 0, "remaining": 0}
+        token = int(self.final.log.meta()["version"])
+        selected = df.filter(F.expr(where)) if where else df
+        remaining = df.filter(~F.expr(where)) if where else df.limit(0)
+
+        # strip the bookkeeping DeadLetterTable.append re-derives; keep
+        # event columns + the original quarantine reason
+        keep = [c for c in EVENT_COLS if c in df.columns]
+        if "error_msg" in df.columns:
+            keep.append("error_msg")
+        requeue = selected.select(*keep)
+
+        n = self.dl.append(
+            requeue,
+            stream_id=f"reprocess:{self.final_errors_dir}",
+            epoch_id=token,
+        )
+        # fenced no-op (n == 0 with selected rows present) means a
+        # crashed earlier call already requeued — fall through to the
+        # removal either way
+        self.final.replace(remaining)
+        return {
+            "reprocessed": int(n),
+            "remaining": int(remaining.count()),
+        }

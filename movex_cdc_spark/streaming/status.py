@@ -112,6 +112,7 @@ def engine_status(
     dead_letter_dir: str | None = None,
     events_dir: str | None = None,
     heartbeat_stale_s: int = 120,
+    control_file: str | None = None,
     fs=None,
 ) -> dict[str, Any]:
     """One consolidated status document (the /health_check/status
@@ -167,6 +168,13 @@ def engine_status(
                 spark, dead_letter_dir + "_dispatch", fs
             ),
         }
+
+    if control_file is not None:
+        # the GET half of /server_control: the current control doc
+        # (desired state), next to the observed state above
+        from movex_cdc_spark.streaming.control import ServerControl
+
+        status["control"] = ServerControl(control_file, fs=fs).read()
 
     if events_dir is not None:
         try:

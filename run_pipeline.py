@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 
 def parse_args(argv: list[str]) -> argparse.Namespace:
@@ -56,6 +57,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--mor", action="store_true",
                    help="merge-on-read delta path (tiny frequent epochs)")
     p.add_argument("--compact-rows", type=int, default=1_000_000)
+    p.add_argument("--compact-epochs", type=int, default=None,
+                   help="also compact every N appended epochs — measured "
+                        "default for read-while-write deployments is 5 "
+                        "(bench.py --mor-policy, BENCH_SCALING.md)")
     p.add_argument("--trigger", default=None,
                    help="processing-time interval for a continuous run, e.g. '30 seconds'")
     p.add_argument("--timeout-s", type=int, default=3600,
@@ -78,7 +83,30 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="print the consolidated health/status JSON "
                         "(streaming/status.py — the /health_check/status "
                         "analog) and exit without touching the pipeline")
+    p.add_argument("--control-file", default=None,
+                   help="server-control JSON document (streaming/control.py "
+                        "— the /server_control analog). With --trigger, a "
+                        "PipelineSupervisor applies changes between "
+                        "micro-batches: worker_threads_count (live; 0 "
+                        "pauses), max_files_per_trigger (graceful restart), "
+                        "log_level (live), terminate")
+    p.add_argument("--set-control", action="append", default=None,
+                   metavar="KEY=VALUE",
+                   help="write a control change (validated, revision-bumped) "
+                        "and exit — the POST /server_control analog; "
+                        "repeatable. Requires --control-file")
     return p.parse_args(argv)
+
+
+def _parse_control_value(raw: str):
+    if raw.lower() in ("true", "false"):
+        return raw.lower() == "true"
+    if raw.lower() in ("null", "none"):
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        return raw
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -99,6 +127,26 @@ def main(argv: list[str] | None = None) -> int:
 
         fs = HadoopFS(spark)
 
+    if args.set_control:
+        # POST /server_control analog: validate + atomically publish,
+        # no pipeline objects touched — a running supervisor picks the
+        # new revision up at its next poll
+        import json as _json
+
+        from movex_cdc_spark.streaming.control import ServerControl
+
+        if not args.control_file:
+            raise SystemExit("--set-control requires --control-file")
+        changes = {}
+        for kv in args.set_control:
+            if "=" not in kv:
+                raise SystemExit(f"--set-control expects KEY=VALUE, got {kv!r}")
+            k, v = kv.split("=", 1)
+            changes[k.strip()] = _parse_control_value(v.strip())
+        doc = ServerControl(args.control_file, fs=fs).set(**changes)
+        print(_json.dumps(doc, indent=1))
+        return 0
+
     if args.status:
         # read-only probe over what the pipeline already persists —
         # safe to run WHILE a pipeline instance is live (it neither
@@ -114,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_home=args.checkpoint_dir.rstrip("/") + "_home",
             dead_letter_dir=args.dead_letter_dir,
             events_dir=args.events_dir,
+            control_file=args.control_file,
             fs=fs,
         )
         print(_json.dumps(st, default=str, indent=2))
@@ -127,7 +176,9 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.buckets, fs=fs,
         )
     sink = (
-        MergeOnReadTable(table, args.table_dir + "_delta", compact_rows=args.compact_rows)
+        MergeOnReadTable(table, args.table_dir + "_delta",
+                         compact_rows=args.compact_rows,
+                         compact_epochs=args.compact_epochs)
         if args.mor
         else table
     )  # MoR inherits the base table's fs for its delta log
@@ -173,7 +224,27 @@ def main(argv: list[str] | None = None) -> int:
         envelope_sink=envelope_sink,
         fs=fs,
     )
-    if args.trigger:
+    if args.trigger and args.control_file:
+        # supervised continuous run: the control document is applied
+        # between micro-batches (live knobs) or via graceful restart
+        # from the same checkpoint (batch-size knob); ``terminate``
+        # ends the loop — the reference's controller-managed worker
+        # pool (server_control_controller.rb)
+        from movex_cdc_spark.streaming.control import PipelineSupervisor, ServerControl
+
+        sup = PipelineSupervisor(
+            pipe,
+            ServerControl(args.control_file, fs=fs),
+            available_now=False,
+            processing_time=args.trigger,
+        )
+        deadline = time.monotonic() + args.timeout_s
+        while not sup.terminated and time.monotonic() < deadline:
+            sup.poll_once()
+            hb.beat()
+            time.sleep(5)
+        sup._stop()
+    elif args.trigger:
         q = pipe.start(available_now=False, processing_time=args.trigger)
         # keep the single-writer claim alive for the whole run — a
         # one-shot beat would expire after stale_s and let a second

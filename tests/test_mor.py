@@ -79,6 +79,34 @@ def test_mor_auto_compaction_threshold(spark, tmp_path):
     assert mor.delta.meta()["rows"] < 1000  # compacted at least once
 
 
+def test_mor_auto_compaction_epoch_policy(spark, tmp_path):
+    """The measured default policy (bench.py --mor-policy: every 5
+    epochs wins on total write+read wall): compact_epochs fires on
+    APPENDED-EPOCH count independent of row volume, and the counter
+    resets with the truncation commit."""
+    base = LakeTable.create(
+        spark, str(tmp_path / "base"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4
+    )
+    mor = MergeOnReadTable(
+        base, str(tmp_path / "delta"), compact_rows=10**9, compact_epochs=5
+    )
+    _, batches = _clean_batches(spark, n_events=3000, epochs=12)
+    lins = [
+        mor.merge(lww_dedup_maxby(b, KEY_COLS), epoch_id=i)
+        for i, b in enumerate(batches)
+    ]
+    fired = [i for i, l in enumerate(lins) if "compaction" in l]
+    assert fired == [4, 9]  # every 5th append, rows threshold never hit
+    assert mor.delta.meta()["delta_epochs"] == 2  # 10,11 since the reset
+    # and state is unaffected by when compaction fired
+    cow = LakeTable.create(
+        spark, str(tmp_path / "cow"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4
+    )
+    for i, b in enumerate(batches):
+        cow.merge(lww_dedup_maxby(b, KEY_COLS), epoch_id=i)
+    assert _state(cow) == _state(mor)
+
+
 def test_mor_epoch_fence_and_crash_window(spark, tmp_path):
     _, mor = _tables(spark, tmp_path)
     _, batches = _clean_batches(spark, n_events=600, epochs=2)
