@@ -626,7 +626,8 @@ def run_analytics_sfx(spark, workdir: str) -> dict:
 
 def run_mux_ab(spark, workdir: str, n_tables: int = 8,
                events_per_table: int = 50_000, n_files: int = 8,
-               hot_share: float | None = None) -> dict:
+               hot_share: float | None = None, salted: bool = False,
+               repeats: int = 2) -> dict:
     """ONE multiplexed streaming query vs N per-table queries at equal
     volume (the VERDICT r5 item-2 design claim, measured): same total
     events, same per-file trigger granularity. The multiplexed side
@@ -724,7 +725,7 @@ def run_mux_ab(spark, workdir: str, n_tables: int = 8,
         pipe = MultiplexedCdcPipeline(
             spark, cfg, sinks=sinks, events_dir=os.path.join(base, "mux"),
             checkpoint_dir=os.path.join(run_dir, "ck"),
-            max_files_per_trigger=1,
+            max_files_per_trigger=1, salted=salted,
         )
         t0 = time.monotonic()
         pipe.run_available_now(timeout_s=3600)
@@ -738,6 +739,7 @@ def run_mux_ab(spark, workdir: str, n_tables: int = 8,
                 checkpoint_dir=os.path.join(run_dir, f"ck-{name}"),
                 stream_id=f"cdc-{name}", payload_format=True,
                 config=cfg, table_name=name, max_files_per_trigger=1,
+                salted=salted,
             )
             for name in names
         ]
@@ -750,28 +752,31 @@ def run_mux_ab(spark, workdir: str, n_tables: int = 8,
         return round(time.monotonic() - t0, 2), sinks, run_dir
 
     out: dict = {"n_tables": n_tables, "events_per_table": events_per_table,
-                 "n_files": n_files, "hot_share": hot_share}
+                 "n_files": n_files, "hot_share": hot_share, "salted": salted}
     mux_walls, per_walls = [], []
     keep: dict = {}
-    for r in ("warm", "run"):
+    rounds = ["warm"] + [f"run{i}" for i in range(repeats)]
+    for r in rounds:
         w_m, mux_sinks, d_m = _mux_once(r)
-        mux_walls.append(w_m)
         w_p, per_sinks, d_p = _per_table_once(r)
-        per_walls.append(w_p)
-        if r == "run":
+        if r == rounds[-1]:
             keep = {"mux": mux_sinks, "per": per_sinks}
         else:
             shutil.rmtree(d_m, ignore_errors=True)
             shutil.rmtree(d_p, ignore_errors=True)
+        if r != "warm":  # warmup position absorbs JVM/codegen priming
+            mux_walls.append(w_m)
+            per_walls.append(w_p)
     # identity gate: same final state per table before any wall counts
     for name in names:
         a = keep["mux"][name].read().select("repo", "path", "content_sha")
         b = keep["per"][name].read().select("repo", "path", "content_sha")
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
-    out["mux_wall_s"] = mux_walls[-1]
-    out["per_table_wall_s"] = per_walls[-1]
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    out["mux_wall_s"] = med(mux_walls)
+    out["per_table_wall_s"] = med(per_walls)
     out["all_runs"] = {"mux": mux_walls, "per_table": per_walls}
-    out["mux_speedup"] = round(per_walls[-1] / mux_walls[-1], 2)
+    out["mux_speedup"] = round(out["per_table_wall_s"] / out["mux_wall_s"], 2)
     out["identical_final_states"] = True
     return out
 
@@ -1006,12 +1011,17 @@ def main() -> None:
         t = int(os.environ.get("SPARK_GRAFT_MUX_TABLES", "8"))
         e = int(os.environ.get("SPARK_GRAFT_MUX_EVENTS", "50000"))
         hs = float(os.environ.get("SPARK_GRAFT_MUX_HOT_SHARE", "0.9"))
+        reps = int(os.environ.get("SPARK_GRAFT_MUX_REPEATS", "3"))
         print(json.dumps({"metric": "multiplexed_dispatch_under_table_skew",
                           "uniform": run_mux_ab(spark, workdir, n_tables=t,
-                                                events_per_table=e),
+                                                events_per_table=e,
+                                                repeats=reps),
                           "skewed": run_mux_ab(spark, workdir, n_tables=t,
                                                events_per_table=e,
-                                               hot_share=hs)}))
+                                               hot_share=hs, repeats=reps),
+                          "skewed_salted": run_mux_ab(
+                              spark, workdir, n_tables=t, events_per_table=e,
+                              hot_share=hs, salted=True, repeats=reps)}))
         spark.stop()
         return
     if "--dedup-scale" in sys.argv:
