@@ -84,6 +84,39 @@ def make_spark(cpus: int, state_store: str | None = None):
     return s
 
 
+def host_calibration() -> dict:
+    """Fixed-work host-speed probe, emitted with every headline/scaling
+    artifact so cross-round walls can be NORMALIZED instead of
+    adjudicated: r7's uniform wall inflation vs r6 (same code, same
+    data — the VM ran the unchanged pytest suite 2.8× slower) cost a
+    full host-band analysis to attribute; with this probe in both
+    artifacts the attribution is one division. Pure CPU + memory, no
+    Spark, no disk: single-core sha256 over 256 MiB (scalar compute
+    unit), numpy copy of 4 × 512 MiB (memory bandwidth — the resource
+    the 4-core scaling position is bound on, BENCH_SCALING.md r1), and
+    the 1-minute load average at probe time (co-tenant pressure)."""
+    import hashlib
+
+    import numpy as np
+
+    buf = bytes(64 * 1024 * 1024)
+    t0 = time.monotonic()
+    h = hashlib.sha256()
+    for _ in range(4):
+        h.update(buf)
+    sha_s = time.monotonic() - t0
+    a = np.zeros(64 * 1024 * 1024, dtype=np.uint64)  # 512 MiB
+    t0 = time.monotonic()
+    for _ in range(4):
+        a.copy()
+    mem_s = time.monotonic() - t0
+    return {
+        "sha256_mb_s": round(256 / sha_s, 1),
+        "memcpy_gb_s": round(4.0 / mem_s, 2),  # 0.5 GB read + 0.5 GB write per copy
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+
+
 def run_queries(spark) -> dict[str, float]:
     from movex_cdc_spark.plans.entry_queries import REGISTRY
 
@@ -1058,7 +1091,8 @@ def main() -> None:
         n = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
         repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
         levels = (n, 4 * n)
-        result = {"n_events": CDC_EVENTS, "levels": list(levels), "repeats": repeats, "runs": {}}
+        result = {"n_events": CDC_EVENTS, "levels": list(levels), "repeats": repeats,
+                  "host_calibration": host_calibration(), "runs": {}}
         best = {}
         # Two measurements per level:
         #   apply_core — the engine's apply job on one full-backlog
@@ -1135,6 +1169,7 @@ def main() -> None:
                 # comparable round-over-round)
                 "sessionize_stateful": sess,
                 "cpus": CPUS,
+                "host_calibration": host_calibration(),
             }
         )
     )

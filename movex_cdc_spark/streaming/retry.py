@@ -130,9 +130,21 @@ class RetryWorker:
         eligible = df.filter(eligible_pred)
         waiting = df.filter(~eligible_pred)
 
-        # re-validate: a row is healed iff it now passes the same check
-        # that quarantined it (content present for I/U)
-        healed_pred = F.col("content").isNotNull() | (F.col("op") == "D")
+        # re-validate: a row is healed iff it now passes THE quarantine
+        # rule that sent it here (operators/filters.poison_predicate —
+        # content present for I/U AND a known op). The previous check
+        # (`content IS NOT NULL OR op = 'D'`) had two defects this
+        # single-source form fixes: (a) on a NULL-op row it evaluated
+        # NULL, so the row fell out of BOTH the healed and still-bad
+        # sides and was silently DELETED from the dead letter at the
+        # rewrite below (3VL row loss); (b) a content-present row with
+        # a junk/NULL op counted as "healed" and was re-applied, only
+        # to be re-poisoned downstream. poison_predicate is total
+        # (never NULL) by construction, so every eligible row lands in
+        # exactly one of healed/still_bad.
+        from movex_cdc_spark.operators.filters import poison_predicate
+
+        healed_pred = ~poison_predicate()
         healed = eligible.filter(healed_pred).select(
             *[c for c in EVENT_COLS if c in df.columns]
         )
@@ -207,8 +219,14 @@ class RetryWorker:
         if df is None:
             return {"reprocessed": 0, "remaining": 0}
         token = int(self.final.log.meta()["version"])
-        selected = df.filter(F.expr(where)) if where else df
-        remaining = df.filter(~F.expr(where)) if where else df.limit(0)
+        # coalesce: a predicate that evaluates NULL on a row (e.g.
+        # ``op = 'I'`` over a NULL op) would otherwise drop the row
+        # from BOTH the selected AND the remaining side — silently
+        # deleting it from the final store at the replace below. An
+        # undecidable scope predicate means NOT selected, never lost.
+        pred = F.coalesce(F.expr(where), F.lit(False)) if where else F.lit(True)
+        selected = df.filter(pred)
+        remaining = df.filter(~pred)
 
         # strip the bookkeeping DeadLetterTable.append re-derives; keep
         # event columns + the original quarantine reason
@@ -222,11 +240,14 @@ class RetryWorker:
             stream_id=f"reprocess:{self.final_errors_dir}",
             epoch_id=token,
         )
+        # count BEFORE the swap invalidates this read's lineage (the
+        # count-before-swap rule readmit follows)
+        n_remaining = remaining.count()
         # fenced no-op (n == 0 with selected rows present) means a
         # crashed earlier call already requeued — fall through to the
         # removal either way
         self.final.replace(remaining)
         return {
             "reprocessed": int(n),
-            "remaining": int(remaining.count()),
+            "remaining": int(n_remaining),
         }

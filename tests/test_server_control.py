@@ -200,6 +200,35 @@ def test_reprocess_final_errors_scoped_where(spark, tmp_path):
     assert dl.read().count() == n_ins
 
 
+def test_reprocess_where_null_predicate_keeps_undecidable_rows(spark, tmp_path):
+    """3VL guard: a scope predicate that evaluates NULL on a row (here
+    ``op = 'I'`` over a NULL-op poison row) must leave that row in the
+    final store — not silently delete it from both sides of the split
+    at the replace."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), REPO_FILES_SCHEMA, KEY_COLS, n_buckets=4
+    )
+    dl = DeadLetterTable(spark, str(tmp_path / "dl"))
+    ev = _poison_events(n=30, seed=21)
+    ev.loc[ev.index[:3], "op"] = None  # malformed: NULL op -> poison
+    apply_batch(t, spark.createDataFrame(ev.drop(columns=["is_noop"])),
+                epoch_id=0, dead_letter=dl)
+    worker = RetryWorker(
+        spark, t, dl, str(tmp_path / "final"), max_retries=1, start_delay_s=0
+    )
+    worker.readmit(epoch_id=1)
+    worker.readmit(epoch_id=2)
+    total = worker.final_errors().count()
+    n_null_op = worker.final_errors().filter(F.col("op").isNull()).count()
+    assert n_null_op == 3
+
+    rep = worker.reprocess_final_errors(where="op = 'I'")
+    # NULL-op rows are NOT selected AND NOT lost
+    assert rep["reprocessed"] + rep["remaining"] == total
+    left = worker.final_errors()
+    assert left.filter(F.col("op").isNull()).count() == n_null_op
+
+
 def test_readmit_rerun_does_not_duplicate_final_errors(spark, tmp_path):
     """The crashed-pass window: readmit appends exhausted rows to the
     final store, then crashes BEFORE the dead-letter rewrite. The
