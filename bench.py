@@ -411,18 +411,30 @@ def run_state_store_ab(workdir: str, n_events: int, n_users: int) -> dict:
     return out
 
 
-def _stage_docs(spark, workdir: str, stack: int) -> str:
+def _stage_docs(spark, workdir: str, stack: int, disjoint: bool = False) -> str:
     """documents stacked ``stack``× with per-copy salted text (the r5
     boundedness harness: realistic candidate structure, not exact
-    clones). Staged once, reused."""
-    d = os.path.join(workdir, f"docs-x{stack}")
+    clones). Staged once, reused.
+
+    ``disjoint=False`` (the dense tier): copies keep ~identical text,
+    so every copy of a doc near-dups every other copy — duplicate
+    CLUSTERS grow with the stack and within-cluster pairs grow
+    quadratically. That measures the pair-explosion worst case, but a
+    real 10×-bigger corpus mostly adds NON-duplicates. ``disjoint=True``
+    salts EVERY word with the copy index (``regexp_replace`` prepends
+    ``c{i}`` to each token), making shingle spaces disjoint between
+    copies: the corpus grows ``stack``× while each copy keeps only the
+    BASE corpus's natural duplicate structure — constant cluster size,
+    the realistic growth shape."""
+    d = os.path.join(workdir, f"docs-x{stack}" + ("-disjoint" if disjoint else ""))
     if not os.path.isdir(d):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
         copies = [
             docs.selectExpr(
                 f"doc_id + {i * 1_000_000} AS doc_id",
-                "text" if i == 0 else
-                f"concat(text, ' cpsalt{i} w', cast(doc_id % 89 AS string)) AS text",
+                (f"regexp_replace(text, ' ', ' c{i}') AS text" if disjoint and i > 0 else
+                 "text" if i == 0 else
+                 f"concat(text, ' cpsalt{i} w', cast(doc_id % 89 AS string)) AS text"),
             )
             for i in range(stack)
         ]
@@ -468,9 +480,14 @@ def run_dedup_scale(spark, workdir: str, stacks=(10, 100)) -> dict:
     K, R = 8, 2
     B = K // R
     out: dict = {"k": K, "rows_per_band": R, "n_bands": B, "tiers": {}}
-    for stack in stacks:
-        df = spark.read.parquet(_stage_docs(spark, workdir, stack))
-        tier: dict = {"n_docs": df.count()}
+    # tiers: dense stacking (clusters grow with the stack — the
+    # pair-explosion worst case) plus a disjoint-vocabulary ×max tier
+    # (corpus grows, cluster size constant — the realistic shape; see
+    # _stage_docs). Tier keys: x10, x100, x100_disjoint.
+    tiers = [(s, False) for s in stacks] + [(max(stacks), True)]
+    for stack, disjoint in tiers:
+        df = spark.read.parquet(_stage_docs(spark, workdir, stack, disjoint=disjoint))
+        tier: dict = {"n_docs": df.count(), "disjoint_copies": disjoint}
 
         t0 = time.monotonic()
         cand = minhash_lsh_pairs(df, k=K, rows_per_band=R, n=3).persist()
@@ -532,13 +549,32 @@ def run_dedup_scale(spark, workdir: str, stacks=(10, 100)) -> dict:
         cand.unpersist()
         sample.unpersist()
         verified.unpersist()
-        out["tiers"][f"x{stack}"] = tier
+        out["tiers"][f"x{stack}" + ("_disjoint" if disjoint else "")] = tier
     ts = [out["tiers"][f"x{s}"] for s in stacks]
     if len(ts) == 2 and ts[0]["lsh_wall_s"]:
-        out["wall_ratio_for_10x_docs"] = {
+        out["wall_ratio_for_10x_docs_dense"] = {
             "lsh": round(ts[1]["lsh_wall_s"] / ts[0]["lsh_wall_s"], 2),
             "verify": round(ts[1]["verify_wall_s"] / ts[0]["verify_wall_s"], 2),
             "cc": round(ts[1]["cc_wall_s"] / ts[0]["cc_wall_s"], 2),
+        }
+    dj = out["tiers"].get(f"x{max(stacks)}_disjoint")
+    if dj and ts[0]["lsh_wall_s"]:
+        # the disjoint tier's cluster structure differs from the dense
+        # tiers' (per-copy base structure vs cross-copy clusters), so a
+        # raw wall ratio would compare different workloads — report the
+        # size-normalized unit costs instead and let the analysis divide
+        out["unit_costs_x100_disjoint"] = {
+            "lsh_us_per_doc": round(1e6 * dj["lsh_wall_s"] / dj["n_docs"], 1),
+            "verify_us_per_candidate": (
+                round(1e6 * dj["verify_wall_s"] / dj["lsh_candidates"], 1)
+                if dj["lsh_candidates"]
+                else None
+            ),
+            "cc_us_per_pair": (
+                round(1e6 * dj["cc_wall_s"] / dj["verified_pairs"], 1)
+                if dj["verified_pairs"]
+                else None
+            ),
         }
     return out
 
