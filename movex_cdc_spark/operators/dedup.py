@@ -30,11 +30,55 @@ ID_COL = "doc_id"
 
 def with_shingles(df: DataFrame, n: int = 3, text_col: str = TEXT_COL) -> DataFrame:
     """Distinct word n-gram shingles per doc, as an array column.
-    Pure array expressions — no UDF, stays in whole-stage codegen."""
+    Pure array expressions — no UDF, stays in whole-stage codegen.
+
+    Keep this ARRAY shape only for consumers that need the whole set
+    per doc (exact-jaccard verify's array_intersect). Row-stream
+    consumers must use ``exploded_shingles``: ``explode()`` over this
+    HOF-computed column re-evaluates the n-gram expression per OUTPUT
+    row (~20× measured at 52 shingles/doc — guide §7.2 duplicated-
+    subtree class), while explode over a cheap position sequence pays
+    the per-shingle work exactly once."""
     from movex_cdc_spark.functions.ngrams import distinct_word_ngrams
 
     return df.withColumn("words", F.split(F.col(text_col), " ")).withColumn(
         "shingles", F.expr(distinct_word_ngrams("words", n))
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, n: int = 3, id_col: str = ID_COL, text_col: str = TEXT_COL
+) -> DataFrame:
+    """(id, shingle) row stream of word n-grams, WITH within-doc
+    duplicates (consumers use duplicate-insensitive aggregates: min for
+    minhash, collect_set / count distinct for blocking). The generator
+    explodes a cheap integer ``sequence`` and each shingle is built
+    once per output row (concat_ws over a slice) — the shape that keeps
+    the pathological per-output-row re-evaluation of a heavy
+    array-building expression out of the plan (measured 2.9 s -> 0.2 s
+    on the sf0.1 corpus for the explode stage alone). Docs shorter than
+    ``n`` tokens emit no rows (explode of an empty sequence), matching
+    the empty shingle array of ``with_shingles``. A frame that already
+    carries a materialized ``shingles`` array is exploded directly
+    (attribute explode is cheap; values are already distinct)."""
+    if "shingles" in df.columns:
+        return df.select(id_col, F.explode("shingles").alias("shingle"))
+    return (
+        df.withColumn("__w", F.split(F.col(text_col), " "))
+        .select(
+            id_col,
+            "__w",
+            F.explode(
+                F.expr(
+                    f"case when size(__w) < {n} then array()"
+                    f" else sequence(1, size(__w) - {n - 1}) end"
+                )
+            ).alias("__i"),
+        )
+        .select(
+            id_col,
+            F.expr(f"concat_ws(' ', slice(__w, __i, {n}))").alias("shingle"),
+        )
     )
 
 
@@ -109,11 +153,17 @@ def ngram_jaccard_pairs(
     pair generator explodes. Jaccard is exact over the capped universe:
     doc sizes count only surviving shingles, so dropped shingles leave
     both numerator and denominator. (df=1 shingles cannot form a pair
-    but still count toward sizes.)"""
-    sh = with_shingles(df, n).select(id_col, "shingles")
-    ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    but still count toward sizes.)
+
+    The shingle stream is the duplicate-carrying ``exploded_shingles``
+    row shape; ``collect_set`` / ``count(distinct)`` restore per-doc
+    distinctness inside the aggregation (map-side combined), which is
+    exactly equivalent to the former per-doc ``array_distinct`` +
+    ``collect_list`` — verified bit-for-bit — without the per-output-
+    row re-evaluation the array explode paid."""
+    ex = exploded_shingles(df, n, id_col=id_col)
     grouped = ex.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
+        F.sort_array(F.collect_set(id_col)).alias("ids")
     )
     if max_shingle_df is not None:
         grouped = grouped.filter(F.size("ids") <= max_shingle_df)
@@ -123,7 +173,9 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_sh"))
         )
     else:
-        sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
+        sizes = ex.groupBy(id_col).agg(
+            F.countDistinct("shingle").alias("n_sh")
+        )
     shared = (
         pairs_within_groups(grouped.filter(F.size("ids") >= 2).select("ids"))
         .groupBy("id_a", "id_b")
@@ -148,30 +200,38 @@ def minhash_signature(df: DataFrame, k: int = 8, n: int = 3, id_col: str = ID_CO
     shingle: sha256(shingle) is computed once and its 64 hex chars are
     split into k disjoint chunks — chunk i is an independent uniform
     hash of the shingle, so signature[i] = min over shingles of chunk i
-    is a valid min-hash family. This is the hot loop of corpus dedup at
-    100 TB: ONE sha256 per shingle instead of k, and ONE fold over the
-    digests — the accumulator is the running k-wide min vector, updated
-    per digest with zip_with (the k-separate array_min passes re-walk
-    the digest array k times and allocate k intermediate arrays;
-    measured 2.0× slower for the same output). All codegen, no shuffle.
-    The DuckDB oracle re-derives the identical family via
-    substr(sha256(s), i*chunk+1, chunk)."""
+    is a valid min-hash family. The DuckDB oracle re-derives the
+    identical family via substr(sha256(s), i*chunk+1, chunk).
+
+    Shape: ``exploded_shingles`` row stream -> one sha2 per row -> k
+    plain ``min(substring(...))`` aggregates per doc, rebuilt into the
+    sig array. The aggregation is a codegen hash-aggregate with
+    MAP-SIDE PARTIAL COMBINE, so the doc-keyed shuffle moves at most
+    one k-chunk row per (doc, task) — bytes ∝ docs, never ∝ shingles.
+    ``min`` is duplicate-insensitive, so the stream needs no per-doc
+    distinct. This replaced the zero-shuffle array fold
+    (aggregate/zip_with over a per-doc digest array): the fold's
+    interpreted HOF chain allocated a fresh k-array per digest and,
+    under ``explode`` composition, re-evaluated the whole array build
+    per output row — measured 3.2 s -> 1.2 s for the signature stage
+    on sf0.1, bit-identical output (r8).
+
+    Docs with no shingles (< n tokens) emit NO row here (the fold
+    shape emitted an all-null sig); every caller already filters
+    those out before banding."""
     assert 64 % k == 0, "k must divide the 64 hex chars of sha256"
     chunk = 64 // k
-    # a frame that already carries `shingles` (a caller sharing ONE
-    # shingle pass across stages, e.g. ngram_jaccard_pregated) is used
-    # as-is; anything else is shingled here
-    sh = df if "shingles" in df.columns else with_shingles(df, n)
-    shas = sh.withColumn("shas", F.expr("transform(shingles, s -> sha2(s, 256))"))
-    return shas.withColumn(
-        "sig",
-        F.expr(
-            f"aggregate(shas, array_repeat(cast(null as string), {k}),"
-            f" (acc, h) -> zip_with(acc,"
-            f" transform(sequence(0, {k - 1}), i -> substring(h, i * {chunk} + 1, {chunk})),"
-            f" (a, b) -> case when a is null or b < a then b else a end))"
-        ),
-    ).select(id_col, "sig")
+    ex = exploded_shingles(df, n, id_col=id_col)
+    sha = ex.select(id_col, F.sha2(F.col("shingle"), 256).alias("__h"))
+    aggs = [
+        F.min(F.substring("__h", i * chunk + 1, chunk)).alias(f"__m{i}")
+        for i in range(k)
+    ]
+    return (
+        sha.groupBy(id_col)
+        .agg(*aggs)
+        .select(id_col, F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(

@@ -32,12 +32,49 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# Tables whose scans feed heavy PER-ROW compute (shingling, hashing,
+# vector folds). The testdata files are single-row-group parquet, so
+# the scan — and EVERYTHING upstream of the first exchange — runs as
+# ONE task no matter how many cores the session has (a byte-range
+# split with no row-group start reads nothing). fan_out() is the guide
+# §2.5 unsplittable-input fix: repartition right after the read, but
+# ONLY when the scan is under-parallel (at production scale the scan
+# has >= cores partitions and this is a no-op — nothing is shuffled).
+# Measured per query (r8, same-session A/B ×3): documents/embeddings
+# queries win (text battery 2.0 -> 0.5 s first-run, ann_cosine 1.37 ->
+# 0.95, minhash 4.9 -> 2.9); lineitem/orders/events queries LOSE (the
+# exchange costs more than the single-task scan of a thin projection
+# feeding a shuffle anyway: cdc_lww 0.44 -> 1.2 s warm), so those
+# tables are deliberately NOT in this set. Dimension tables stay out
+# too: they are broadcast sides and a pre-broadcast exchange is loss.
+_FANOUT_TABLES = {"documents", "embeddings"}
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Hash-repartition to session parallelism IFF the frame is
+    currently under-parallel (fewer partitions than cores). Hash on
+    xxhash64 of all columns rather than round-robin: keyless
+    repartition(n) pays a local sort of its input for retry
+    determinism (spark.sql.execution.sortBeforeRepartition, guide
+    §2.5) — a deterministic hash key needs no sort and measured
+    faster on every fanned-out query. Row distribution only — results
+    are unchanged."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p, F.xxhash64(*df.columns))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # Pin the session timezone so timestamp_ntz -> timestamp casts are an
     # exact reinterpretation regardless of the host's zone; epoch_us()
     # parity with DuckDB depends on it.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table in _FANOUT_TABLES:
+        df = fan_out(df)
+    return df
 
 
 def epoch_us(col) -> "F.Column":
@@ -703,14 +740,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash (k=8) + LSH banding (4 bands x 2 rows): shingle ->
-    minhash -> band -> bucket-join. Only the band-bucket equi-join
-    shuffles; signatures are array expressions inside codegen."""
+    minhash -> band -> bucket-join. Only the band-bucket equi-join and
+    the signature's map-side-combined doc aggregation shuffle.
+
+    The nonempty guard is the cheap token-count equivalent of
+    ``size(shingles) > 0`` — a doc has a 3-gram iff it has >= 3 tokens
+    — instead of building the full distinct-shingle array just for a
+    size check (r8: that HOF filter alone cost ~1.3 s warm on sf0.1)."""
     from movex_cdc_spark.operators.dedup import minhash_lsh_pairs
 
     d = load(spark, sf_dir, "documents")
-    from movex_cdc_spark.operators.dedup import with_shingles
-
-    nonempty = with_shingles(d, 3).filter(F.size("shingles") > 0).select("doc_id", "text")
+    nonempty = d.filter(F.size(F.split(F.col("text"), " ")) >= 3).select("doc_id", "text")
     return minhash_lsh_pairs(nonempty, k=8, rows_per_band=2, n=3)
 
 
