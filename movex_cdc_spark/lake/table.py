@@ -411,6 +411,7 @@ class LakeTable:
         epoch_id: int | None = None,
         lineage_extra: dict[str, Any] | None = None,
         prune_source: DataFrame | None = None,
+        probe: "tuple[list[int], bool] | None" = None,
     ) -> dict[str, Any]:
         """LWW MERGE of a change batch into the table.
 
@@ -439,6 +440,14 @@ class LakeTable:
         instead of executing the batch's whole aggregate chain, and the
         batch plan itself runs exactly once — inside the snapshot write
         job.
+
+        ``probe``: precomputed probe result ``(touched_buckets,
+        has_null_keys)`` from a caller that already ran the probe job
+        itself (apply_batch_flagged folds it into the same job that
+        builds the micro-batch cache and counts poison — one fewer
+        action per epoch). Takes precedence over ``prune_source``; the
+        written-outside-touched commit guard below still fails loudly
+        if the caller's probe diverges from the batch keys.
         """
         m = self.meta()
         if epoch_id is not None:
@@ -479,7 +488,18 @@ class LakeTable:
         _t = _time.monotonic()
 
         # bucket pruning: which buckets does this batch touch?
-        if prune_source is not None:
+        if probe is not None:
+            # caller-supplied probe (see docstring): no collect here at
+            # all — the heavy batch plan runs exactly once, inside the
+            # snapshot write job. With null keys present the aggregate
+            # is referenced by both join branches, so persist it.
+            touched = sorted(int(b) for b in probe[0])
+            src_has_null_keys = bool(probe[1])
+            src_cached = False
+            if src_has_null_keys:
+                src = src.persist()
+                src_cached = True
+        elif prune_source is not None:
             # Cheap probe path (streaming fast path): the caller's
             # pre-LWW cached slice has the same key set as the batch
             # (LWW collapses per key, never adds/removes keys), and the

@@ -177,7 +177,20 @@ def apply_batch_flagged(
     lww_mode: str = "maxby",
 ) -> dict[str, Any]:
     """apply_batch over a pre-flagged (cached) micro-batch — the
-    streaming fast path; filters already ran in flag_dispositions."""
+    streaming fast path; filters already ran in flag_dispositions.
+
+    ONE probe job over the cached batch carries everything the driver
+    needs before the merge write: the touched-bucket set + null-key
+    presence (valid rows), the A1 counters, and the poison count. The
+    dead-letter append then runs ONLY when there is poison to
+    quarantine — previously every epoch paid a poison-filter scan plus
+    an EMPTY segment write and a metadata commit (r8 phase timing:
+    part of the ~2 s dl_append_s per 1M-event epoch). Skipping the
+    empty append is safe: the dead-letter fence is consulted through
+    monotone epoch ids, and an epoch that appended nothing leaves
+    nothing to fence or replay. Sinks without bucket pruning
+    (MergeOnReadTable) keep the generic flow — for them the probe job
+    would be pure extra work."""
     t0 = time.monotonic()
     valid, poison = split_flagged(flagged)
     if "old_content" not in poison.columns:
@@ -196,13 +209,116 @@ def apply_batch_flagged(
         "content_sha",
         F.when(F.col("content").isNotNull(), sha256_builtin("content")),
     )
-    return _apply_prepared(
-        table, ready, poison, epoch_id, stream_id, dead_letter, metrics,
-        evolve=True, obs_t0=t0,
-        # seq/op feed the probe-riding metrics observation; the probe's
-        # own distinct prunes to the bucket expression above it
-        prune_source=valid.select(*KEY_COLS, "seq", "op"),
+    if not getattr(table, "supports_prune_source", False):
+        return _apply_prepared(
+            table, ready, poison, epoch_id, stream_id, dead_letter, metrics,
+            evolve=True, obs_t0=t0,
+        )
+    from movex_cdc_spark.lake.table import bucket_expr
+
+    m = table.meta()
+    if epoch_id is not None:
+        last = m["epochs"].get(stream_id)
+        if last is not None and epoch_id <= last:
+            # Replayed epoch: the merge is fenced. Only the dead-letter
+            # append may still be pending (crash between its commit and
+            # the table commit) — its OWN fence resolves that without
+            # any probe job here (append checks its metadata before
+            # touching the batch).
+            if dead_letter is not None:
+                dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
+            return {"skipped": True, "stream_id": stream_id, "epoch_id": epoch_id}
+
+    batch_payload = T.StructType(
+        [f for f in ready.schema.fields
+         if f.name not in ("seq", "op", "old_content", "ts", "txid", "is_noop")]
     )
+    table.evolve_schema(batch_payload)
+
+    key_cols = m["key_cols"]
+    null_key_pred = None
+    for k in key_cols:
+        p = F.col(k).isNull()
+        null_key_pred = p if null_key_pred is None else (null_key_pred | p)
+    ok = ~F.col(POISON_FLAG)
+    obs = Observation(f"apply_{stream_id}_{epoch_id}_{time.monotonic_ns()}")
+    _t = time.monotonic()
+    # counters are valid-only (same valid_events_pre_dedup scope as
+    # before — the observation used to ride the valid slice); poison
+    # rows flow through the observe node and are counted separately,
+    # then filtered before the bucket distinct
+    probe_rows = (
+        flagged.select(POISON_FLAG, "seq", "op", *key_cols)
+        .observe(
+            obs,
+            F.sum(ok.cast("long")).alias("events"),
+            F.max(F.when(ok, F.col("seq"))).alias("max_seq"),
+            F.sum(F.when(ok & (F.col("op") == "I"), 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(ok & (F.col("op") == "U"), 1).otherwise(0)).alias("n_update"),
+            F.sum(F.when(ok & (F.col("op") == "D"), 1).otherwise(0)).alias("n_delete"),
+            F.sum(F.col(POISON_FLAG).cast("long")).alias("n_poison_seen"),
+        )
+        .filter(ok)
+        .select(
+            bucket_expr(key_cols, m["n_buckets"]).alias("__b"),
+            null_key_pred.alias("__nk"),
+        )
+        .distinct()
+        .collect()
+    )
+    probe_wall = round(time.monotonic() - _t, 4)
+    got = obs.get
+    touched = sorted({r["__b"] for r in probe_rows})
+    has_null_keys = any(r["__nk"] for r in probe_rows)
+
+    n_poison = 0
+    dl_wall = 0.0
+    if dead_letter is not None and int(got.get("n_poison_seen") or 0) > 0:
+        # still BEFORE the merge commit: a crash between the two can
+        # only replay the append, and its fence dedupes the replay
+        _t = time.monotonic()
+        n_poison = dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
+        dl_wall = round(time.monotonic() - _t, 4)
+
+    if not touched:
+        lineage: dict[str, Any] = {"skipped": True, "reason": "empty batch"}
+    else:
+        lineage = table.merge(
+            ready,
+            seq_col="seq",
+            op_col="op",
+            stream_id=stream_id,
+            epoch_id=epoch_id,
+            probe=(touched, has_null_keys),
+        )
+    lineage["merge_latency_s"] = round(time.monotonic() - t0, 4)
+    lineage["n_poison"] = n_poison
+    timings = lineage.setdefault("timings", {})
+    timings["probe_s"] = probe_wall  # the external probe, not merge's
+    if dead_letter is not None:
+        timings["dl_append_s"] = dl_wall
+    if lineage.get("skipped"):
+        return lineage
+    lineage["counter_scope"] = "valid_events_pre_dedup"
+    if metrics is not None:
+        metrics.append(
+            {
+                "stream_id": stream_id,
+                "epoch_id": epoch_id,
+                "table_version": lineage.get("version"),
+                "events": got.get("events"),
+                "n_insert": got.get("n_insert"),
+                "n_update": got.get("n_update"),
+                "n_delete": got.get("n_delete"),
+                "n_poison": n_poison,
+                "max_seq": got.get("max_seq"),
+                "buckets_touched": len(lineage.get("buckets_touched", [])),
+                "merge_latency_s": lineage["merge_latency_s"],
+                "counter_scope": "valid_events_pre_dedup",
+            }
+        )
+        lineage["metrics"] = got
+    return lineage
 
 
 def apply_batch(

@@ -93,6 +93,15 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Allow shuffled-hash join where its size conditions hold
+        # (guide §3.1): the merge's full-outer join (deduped batch vs
+        # touched-bucket target) cannot broadcast, and SMJ pays two
+        # per-partition sorts every epoch. Build-side partitions are
+        # bounded by the shuffle partition count + AQE skew splitting,
+        # so the hash-build OOM risk the default guards against does
+        # not apply at this row width. Measured on the 1M-event epoch
+        # merge shape: never slower, up to ~25% faster (r8).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

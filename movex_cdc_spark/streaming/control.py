@@ -92,13 +92,19 @@ class ServerControl:
             raise ValueError(f"unknown control keys: {sorted(unknown)}")
         if "worker_threads_count" in changes:
             w = changes["worker_threads_count"]
-            if not isinstance(w, int) or w < 0:
+            # bool is an int subclass: `--set-control worker_threads_count=true`
+            # would otherwise pass validation and then poison
+            # spark.sql.shuffle.partitions with the string 'True' —
+            # exactly the typo'd-knob failure this validator exists for
+            if isinstance(w, bool) or not isinstance(w, int) or w < 0:
                 raise ValueError(
                     f"worker_threads_count ({w!r}) must be an int >= 0"
                 )
         if "max_files_per_trigger" in changes:
             m = changes["max_files_per_trigger"]
-            if m is not None and (not isinstance(m, int) or m < 1):
+            if m is not None and (
+                isinstance(m, bool) or not isinstance(m, int) or m < 1
+            ):
                 raise ValueError(
                     f"max_files_per_trigger ({m!r}) must be an int >= 1 or None"
                 )
@@ -223,8 +229,18 @@ class PipelineSupervisor:
         while not self.terminated and time.monotonic() < deadline:
             self.poll_once()
             if self.available_now and self.query is not None:
-                # let an AvailableNow drain finish between polls
-                self.query.awaitTermination(int(poll_s * 1000))
+                # let an AvailableNow drain finish between polls.
+                # awaitTermination takes SECONDS (it converts to ms
+                # internally); passing poll_s*1000 blocked each poll up
+                # to 1000×poll_s while a drain was active, so a
+                # terminate/pause in the control file could go
+                # unapplied for ~17 min and run() overshoot its
+                # deadline by the same amount. And once the drain HAS
+                # terminated, awaitTermination returns immediately —
+                # fall through to a real sleep so the loop doesn't
+                # busy-spin re-reading the control file.
+                if self.query.awaitTermination(poll_s):
+                    time.sleep(poll_s)
             else:
                 time.sleep(poll_s)
         self._stop()
