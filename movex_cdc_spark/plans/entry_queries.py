@@ -47,22 +47,26 @@ def register(name: str, oracle: str | None):
 # feeding a shuffle anyway: cdc_lww 0.44 -> 1.2 s warm), so those
 # tables are deliberately NOT in this set. Dimension tables stay out
 # too: they are broadcast sides and a pre-broadcast exchange is loss.
-_FANOUT_TABLES = {"documents", "embeddings"}
+_FANOUT_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition to session parallelism IFF the frame is
     currently under-parallel (fewer partitions than cores). Hash on
-    xxhash64 of all columns rather than round-robin: keyless
+    xxhash64 of the table's unique id rather than round-robin: keyless
     repartition(n) pays a local sort of its input for retry
     determinism (spark.sql.execution.sortBeforeRepartition, guide
     §2.5) — a deterministic hash key needs no sort and measured
-    faster on every fanned-out query. Row distribution only — results
-    are unchanged."""
+    faster on every fanned-out query. Hashing a SINGLE always-used id
+    column (not all columns) keeps column pruning intact: xxhash64 of
+    the full row forced every scan to read every column (ReadSchema
+    regression caught by tools/plan_audit.py). The id is unique, so
+    the hash spreads uniformly. Row distribution only — results are
+    unchanged."""
     spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
-        return df.repartition(p, F.xxhash64(*df.columns))
+        return df.repartition(p, F.xxhash64(F.col(key)))
     return df
 
 
@@ -72,8 +76,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # parity with DuckDB depends on it.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table in _FANOUT_TABLES:
-        df = fan_out(df)
+    key = _FANOUT_TABLES.get(table)
+    if key is not None:
+        df = fan_out(df, key)
     return df
 
 
