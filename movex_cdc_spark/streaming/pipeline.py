@@ -38,25 +38,6 @@ from movex_cdc_spark.sources.events import (
 )
 from movex_cdc_spark.streaming.lineage import MetricsTable
 
-def _fan_out_batch(batch_df: DataFrame) -> DataFrame:
-    """Scale-adaptive micro-batch fan-out (guide §2.5 unsplittable
-    input): a file-source micro-batch has one partition per source
-    FILE, and the staged single-row-group files cannot be byte-range
-    split — so an 8-files-per-trigger epoch runs its JSON parse, cache
-    build and every pre-shuffle stage on 8 of N cores. When the batch
-    is under-parallel, hash-repartition the RAW payload rows (seq is
-    unique, so xxhash64(seq) spreads uniformly with no
-    sortBeforeRepartition cost) BEFORE the parse, so the expensive
-    per-row work runs at full parallelism. At production scale an
-    epoch has >= cores files and this is a no-op — nothing is ever
-    shuffled. Measured (r8, 4×1M-event epochs on 32 cores): epoch
-    cache-build wall ~2.0 s -> ~0.8 s."""
-    p = batch_df.sparkSession.sparkContext.defaultParallelism
-    if batch_df.rdd.getNumPartitions() < p:
-        return batch_df.repartition(p, F.xxhash64(F.col("seq")))
-    return batch_df
-
-
 #: Driver-side epoch-lineage retention (VERDICT r6 item 4): the
 #: in-memory ``epochs`` window is a convenience for tests and the
 #: status surface, NOT the durable record (that's MetricsTable). On a
@@ -151,7 +132,16 @@ class CdcStreamPipeline:
     def _apply(self, batch_df, epoch_id: int) -> None:
         from pyspark import StorageLevel
 
-        batch_df = _fan_out_batch(batch_df)
+        # NOTE (r8, measured and deliberately NOT adopted): an
+        # under-parallel micro-batch (one partition per source file)
+        # COULD be hash-repartitioned here before the parse (guide
+        # §2.5). In-process A/B at 4×1M-event epochs showed the raw-
+        # payload exchange (~200 MB/epoch) costs as much as or more
+        # than the added parse parallelism saves on this host (walls
+        # 22.4→34.1 s and 19.0→42.7 s ON vs OFF in adjacent runs) —
+        # the epoch is bandwidth-bound, not parse-bound. At production
+        # scale epochs have >= cores files anyway, so the fan-out
+        # would be a no-op exactly where it is safe.
         if self.payload_format:
             batch_df = parse_payload_events(batch_df)
         # Fast path (no envelope sink, no table config): run the whole
@@ -457,7 +447,7 @@ class MultiplexedCdcPipeline:
 
         from movex_cdc_spark.sources.events import parse_payload_events
 
-        batch = _fan_out_batch(batch_df).persist(StorageLevel.MEMORY_AND_DISK)
+        batch = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             # bounded probe: distinct tags ≤ configured tables + strays
             # (the collect also builds the cache the dispatch slices)
