@@ -412,6 +412,7 @@ class LakeTable:
         lineage_extra: dict[str, Any] | None = None,
         prune_source: DataFrame | None = None,
         probe: "tuple[list[int], bool] | None" = None,
+        pre_commit: "Any | None" = None,
     ) -> dict[str, Any]:
         """LWW MERGE of a change batch into the table.
 
@@ -448,6 +449,14 @@ class LakeTable:
         action per epoch). Takes precedence over ``prune_source``; the
         written-outside-touched commit guard below still fails loudly
         if the caller's probe diverges from the batch keys.
+
+        ``pre_commit``: zero-arg callable invoked after the snapshot
+        write but BEFORE the metadata commit. The caller's barrier for
+        work that must durably precede this commit (the dead-letter
+        append runs concurrently with the snapshot write — guide §2.6
+        overlapping independent jobs — and is joined here so the
+        poison-before-merge-commit crash ordering is preserved). If it
+        raises, the staged snapshot is dropped and nothing commits.
         """
         m = self.meta()
         if epoch_id is not None:
@@ -693,6 +702,16 @@ class LakeTable:
         if epoch_id is not None:
             m2["epochs"][stream_id] = epoch_id
         m2["lineage"] = (m.get("lineage") or [])[-99:] + [lineage]
+        if pre_commit is not None:
+            # join the caller's concurrent must-precede-commit work
+            # (see docstring); a failure here aborts the snapshot
+            _t = _time.monotonic()
+            try:
+                pre_commit()
+            except Exception:
+                self.fs.rmtree(snap_dir)
+                raise
+            timings["pre_commit_wait_s"] = round(_time.monotonic() - _t, 4)
         _t = _time.monotonic()
         try:
             self._write_version(m2)

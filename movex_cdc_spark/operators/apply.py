@@ -273,30 +273,53 @@ def apply_batch_flagged(
 
     n_poison = 0
     dl_wall = 0.0
+    dl_t0 = time.monotonic()
+    dl_future = None
+    pool = None
     if dead_letter is not None and int(got.get("n_poison_seen") or 0) > 0:
-        # still BEFORE the merge commit: a crash between the two can
-        # only replay the append, and its fence dedupes the replay
-        _t = time.monotonic()
-        n_poison = dead_letter.append(poison, stream_id=stream_id, epoch_id=epoch_id)
-        dl_wall = round(time.monotonic() - _t, 4)
+        # The append reads the already-built cache and writes a small
+        # segment — independent Spark jobs from the merge's join+write,
+        # so run it CONCURRENTLY from a driver thread (guide §2.6) and
+        # join it at merge's pre_commit barrier: the poison commit
+        # still durably precedes the table commit (same crash ordering
+        # as the serial form — a crash between the two replays only
+        # the fenced append), but its wall overlaps the snapshot write
+        # instead of adding to the epoch.
+        from concurrent.futures import ThreadPoolExecutor
 
-    if not touched:
-        lineage: dict[str, Any] = {"skipped": True, "reason": "empty batch"}
-    else:
-        lineage = table.merge(
-            ready,
-            seq_col="seq",
-            op_col="op",
-            stream_id=stream_id,
-            epoch_id=epoch_id,
-            probe=(touched, has_null_keys),
+        pool = ThreadPoolExecutor(max_workers=1)
+        dl_future = pool.submit(
+            dead_letter.append, poison, stream_id=stream_id, epoch_id=epoch_id
         )
+
+    try:
+        if not touched:
+            lineage: dict[str, Any] = {"skipped": True, "reason": "empty batch"}
+            if dl_future is not None:
+                n_poison = dl_future.result()
+        else:
+            lineage = table.merge(
+                ready,
+                seq_col="seq",
+                op_col="op",
+                stream_id=stream_id,
+                epoch_id=epoch_id,
+                probe=(touched, has_null_keys),
+                pre_commit=dl_future.result if dl_future is not None else None,
+            )
+            if dl_future is not None:
+                n_poison = dl_future.result()  # already done (pre_commit barrier)
+        if dl_future is not None:
+            dl_wall = round(time.monotonic() - dl_t0, 4)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
     lineage["merge_latency_s"] = round(time.monotonic() - t0, 4)
     lineage["n_poison"] = n_poison
     timings = lineage.setdefault("timings", {})
     timings["probe_s"] = probe_wall  # the external probe, not merge's
     if dead_letter is not None:
-        timings["dl_append_s"] = dl_wall
+        timings["dl_append_s"] = dl_wall  # overlapped with the write
     if lineage.get("skipped"):
         return lineage
     lineage["counter_scope"] = "valid_events_pre_dedup"
