@@ -39,18 +39,26 @@ def text_analysis(df: DataFrame, threshold: float = 0.08) -> DataFrame:
         ).alias("sw_ratio"),
         F.length(TEXT_COL).alias("n_chars"),
         F.size("toks").alias("n_tokens"),
+        # regexp_count of a single-char class == the chars-removed
+        # length diff the previous regexp_replace shape computed, but
+        # WITHOUT materializing a stripped copy of every document
+        # (two full-string rewrites per doc dropped — r8)
         F.round(
-            (F.length(TEXT_COL) - F.length(F.regexp_replace(F.col(TEXT_COL), "[.!?,;:]", "")))
+            F.regexp_count(F.col(TEXT_COL), F.lit("[.!?,;:]"))
             / F.greatest(F.length(TEXT_COL), F.lit(1)),
             6,
         ).alias("punct_ratio"),
         F.round(
-            (F.length(TEXT_COL) - F.length(F.regexp_replace(F.col(TEXT_COL), "[0-9]", "")))
+            F.regexp_count(F.col(TEXT_COL), F.lit("[0-9]"))
             / F.greatest(F.length(TEXT_COL), F.lit(1)),
             6,
         ).alias("digit_ratio"),
+        # sum of token lengths == n_chars - (n_tokens - 1): split on
+        # ' ' consumes exactly one separator char per boundary (empty
+        # tokens included), so the per-doc aggregate fold is pure
+        # integer arithmetic — identical values, no HOF walk (r8)
         F.round(
-            F.expr("aggregate(toks, 0, (acc, t) -> acc + length(t))")
+            (F.length(TEXT_COL) - F.size("toks") + F.lit(1))
             / F.greatest(F.size("toks"), F.lit(1)),
             6,
         ).alias("mean_tok_len"),
